@@ -1,0 +1,41 @@
+"""Engine configuration — the analog of the reference's IngestOptions
+(/root/reference/src/lib.rs:34-56) plus the eyros tunables surface
+(/root/reference/src/bin.rs:240-285), re-expressed as Ray Data knobs.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass
+class EngineConfig:
+    # join layer
+    join_mode: str = "auto"  # auto | broadcast | shuffle
+    num_partitions: int = 32  # hash-join / regroup partition count
+    broadcast_limit: int = 2_000_000  # max build-side rows for broadcast joins
+
+    # batching (reference: CH_TAKE_LEN 10k / BATCH_SEND 10k / BATCH 100k)
+    parse_batch_size: int = 4096  # documents per parse batch
+    encode_batch_size: int = 8192  # joined rows per encode batch
+
+    # element-kind toggles (IngestOptions.ingest_node/way/relation)
+    ingest_node: bool = True
+    ingest_way: bool = True
+    ingest_relation: bool = True
+
+    # tiling (reference: 50k leaf, depth 30 — src/lib.rs:526, divide.rs:10)
+    tile_leaf_capacity: int = 50_000
+    tile_depth_limit: int = 30
+    grid_divs: tuple[int, int] = (8, 8)
+
+    # skew: tiles whose feature count exceeds leaf_capacity × salt_factor
+    # get salted sub-keys during the shuffle (BASELINE.json north_rule)
+    salt_factor: int = 4
+    num_salts: int = 16
+
+    # output
+    output_path: str = "/tmp/ingest_ray_out"
+    cells_resolutions: tuple[int, ...] = (7, 8, 9, 10, 11, 12)
+
+    extra: dict = field(default_factory=dict)

@@ -1,0 +1,409 @@
+"""Distributed reference resolution — the engine's join layer.
+
+Ray-Data-native re-expression of the reference's streaming hash joins
+(/root/reference/src/denorm.rs:366-436 and the batched loops at
+/root/reference/src/lib.rs:194-260, 286-386):
+
+* way→node  (J1+J3): explode way refs → (node_id, way_id, pos) rows,
+  join against the node table on ``node_id``, regroup per way with ref
+  order preserved (``pos``) — order is semantic (ring winding,
+  SURVEY.md §7.5).
+* relation→way→node (J5+J7): two chained hash joins — member rows ⋈
+  exploded way refs on ``way_id``, then ⋈ nodes on ``node_id`` —
+  regrouped per relation with (member pos, ref pos) preserved.
+
+Design note (scale): way/relation *metadata* (feature type, labels,
+provenance) rides the same shuffle as the exploded refs, attached only
+to each key's ``pos==0`` row (nulls elsewhere). That removes the
+second "join the lists back to the parent" exchange entirely — and
+sidesteps Acero's restriction that list-typed columns cannot be
+non-key join fields. Unresolved refs are kept (left joins, NaN
+coords): ring stitching sees the full ref sequence and coordinates are
+skipped only at position-emit time, matching src/lib.rs:348-353.
+
+Two execution strategies per node lookup, chosen by ``mode``:
+
+* ``"shuffle"``   — ``Dataset.join`` (hash-partitioned), scales to
+  planet-size inputs.
+* ``"broadcast"`` — the node side is collected into sorted numpy
+  arrays, ``ray.put`` ONCE, and every map task does vectorized
+  ``searchsorted`` lookups (city-extract sized inputs; no shuffle).
+* ``"auto"``      — broadcast below ``broadcast_limit`` rows.
+
+Regrouping avoids per-group Python dispatch: rows are bucketed by
+``hash(key) % num_buckets`` and each *bucket* is reassembled in one
+vectorized numpy pass (lexsort + unique segment offsets), so Python
+overhead is O(buckets), not O(keys).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+
+from .util import splitmix64
+
+DEFAULT_BROADCAST_LIMIT = 2_000_000
+
+
+def _np(col) -> np.ndarray:
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    return col.to_numpy(zero_copy_only=False)
+
+
+def _list_offsets(col) -> tuple[np.ndarray, pa.Array]:
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    return col.offsets.to_numpy(zero_copy_only=False), col.flatten()
+
+
+# --------------------------------------------------------------------------
+# broadcast lookup side (SURVEY.md §2.6 ST2-style shared read-only state)
+# --------------------------------------------------------------------------
+
+
+class BroadcastIndex:
+    """Sorted-array (id → payloads) lookup shipped once via ray.put."""
+
+    def __init__(self, ids: np.ndarray, *payloads: np.ndarray):
+        order = np.argsort(ids, kind="stable")
+        self.ids = ids[order]
+        self.payloads = [p[order] for p in payloads]
+
+    def lookup(self, keys: np.ndarray) -> tuple[np.ndarray, list[np.ndarray]]:
+        if len(self.ids) == 0:
+            found = np.zeros(len(keys), dtype=bool)
+            return found, [np.zeros(len(keys), dtype=p.dtype) for p in self.payloads]
+        idx = np.searchsorted(self.ids, keys)
+        idx_c = np.clip(idx, 0, len(self.ids) - 1)
+        found = (idx < len(self.ids)) & (self.ids[idx_c] == keys)
+        return found, [p[idx_c] for p in self.payloads]
+
+
+def build_node_index(nodes_ds) -> "ray.ObjectRef":
+    """Collect (id, lon, lat) into a BroadcastIndex ref (pruned read)."""
+    tbls = list(
+        nodes_ds.select_columns(["id", "lon", "lat"]).iter_batches(
+            batch_size=1 << 20, batch_format="pyarrow"
+        )
+    )
+    t = (
+        pa.concat_tables(tbls)
+        if tbls
+        else pa.table({"id": pa.array([], pa.int64()), "lon": pa.array([], pa.float64()), "lat": pa.array([], pa.float64())})
+    )
+    return ray.put(
+        BroadcastIndex(
+            np.asarray(_np(t.column("id")), dtype=np.int64),
+            np.asarray(_np(t.column("lon")), dtype=np.float64),
+            np.asarray(_np(t.column("lat")), dtype=np.float64),
+        )
+    )
+
+
+def _estimate_small(ds, limit: int) -> bool:
+    try:
+        return ds.count() <= limit
+    except Exception:
+        return False
+
+
+def _lookup_nodes(ds, nodes_ds, mode: str, num_partitions: int, broadcast_limit: int):
+    """Attach lon/lat to rows keyed by ``node_id`` (left semantics)."""
+    if mode == "auto":
+        mode = "broadcast" if _estimate_small(nodes_ds, broadcast_limit) else "shuffle"
+    if mode == "broadcast":
+        idx_ref = build_node_index(nodes_ds)
+
+        def lookup(batch: pa.Table) -> pa.Table:
+            idx: BroadcastIndex = ray.get(idx_ref)
+            raw = _np(batch.column("node_id"))
+            if raw.dtype.kind == "f":  # null node_ids (missing ways) → no match
+                raw = np.where(np.isnan(raw), -(2**62), raw)
+            keys = np.asarray(raw, dtype=np.int64)
+            found, (lon, lat) = idx.lookup(keys)
+            lon = np.where(found, lon, np.nan)
+            lat = np.where(found, lat, np.nan)
+            out = batch.append_column("lon", pa.array(lon, pa.float64()))
+            return out.append_column("lat", pa.array(lat, pa.float64()))
+
+        return ds.map_batches(lookup, batch_format="pyarrow", zero_copy_batch=True)
+    nodes_side = nodes_ds.select_columns(["id", "lon", "lat"]).rename_columns({"id": "nid"})
+    joined = ds.join(
+        nodes_side,
+        join_type="left_outer",
+        num_partitions=num_partitions,
+        on=("node_id",),
+        right_on=("nid",),
+    )
+    return joined.map_batches(_drop_if_present("nid"), batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _drop_if_present(*cols):
+    def fn(batch: pa.Table) -> pa.Table:
+        present = [c for c in cols if c in batch.column_names]
+        return batch.drop_columns(present) if present else batch
+
+    return fn
+
+
+# --------------------------------------------------------------------------
+# vectorized bucket regroup
+# --------------------------------------------------------------------------
+
+
+def add_bucket(batch: pa.Table, key: str, num_buckets: int, out: str = "bucket") -> pa.Table:
+    keys = np.asarray(_np(batch.column(key)), dtype=np.int64)
+    b = (splitmix64(keys.view(np.uint64)) % np.uint64(num_buckets)).astype(np.int32)
+    return batch.append_column(out, pa.array(b, pa.int32()))
+
+
+_LIST_TYPES = {
+    "node_id": pa.int64(),
+    "way_id": pa.int64(),
+    "lon": pa.float64(),
+    "lat": pa.float64(),
+    "okey": pa.int64(),
+    "inner": pa.bool_(),
+}
+
+_META_TYPES = {
+    "ftype": pa.uint64(),
+    "labels": pa.binary(),
+    "is_area": pa.bool_(),
+    "doc_id": pa.string(),
+    "span_idx": pa.int32(),
+}
+
+
+def regroup_bucket(
+    df: pd.DataFrame, key: str, sort_col: str, list_cols: list[str], meta_cols: list[str]
+) -> pa.Table:
+    """One bucket → per-key table: list columns in sort order + meta
+    scalars taken from the first (lowest sort key) row of each group.
+
+    Fully vectorized: one lexsort + one np.unique per bucket.
+    """
+    empty_schema = pa.schema(
+        [pa.field(key, pa.int64())]
+        + [pa.field(f"{c}_list", pa.list_(_LIST_TYPES[c])) for c in list_cols]
+        + [pa.field(c, _META_TYPES[c]) for c in meta_cols]
+    )
+    n = len(df)
+    if n == 0:
+        return empty_schema.empty_table()
+    keys = df[key].to_numpy()
+    sortv = df[sort_col].to_numpy()
+    order = np.lexsort((sortv, keys))
+    k_sorted = keys[order]
+    uniq, starts = np.unique(k_sorted, return_index=True)
+    offsets = np.concatenate([starts, [n]]).astype(np.int64)
+    data: dict[str, pa.Array] = {key: pa.array(uniq, pa.int64())}
+    for c in list_cols:
+        flat = df[c].to_numpy()[order]
+        data[f"{c}_list"] = pa.ListArray.from_arrays(
+            pa.array(offsets), pa.array(flat, _LIST_TYPES[c], from_pandas=True)
+        )
+    first = order[starts]
+    for c in meta_cols:
+        vals = df[c].to_numpy()[first]
+        data[c] = pa.array(vals, _META_TYPES[c], from_pandas=True)
+    return pa.Table.from_pydict(data, schema=empty_schema)
+
+
+# --------------------------------------------------------------------------
+# way → node dependency resolution (single shuffle, meta rides pos==0)
+# --------------------------------------------------------------------------
+
+
+def explode_ways_with_meta(batch: pa.Table) -> pa.Table:
+    """prepared-ways batch → one row per ref.
+
+    Input columns: id, refs, is_area, ftype, labels, doc_id, span_idx.
+    Output: node_id, way_id, pos + meta columns (null except pos==0).
+    The J1 inverted index (/root/reference/src/denorm.rs:366-378) as a
+    pure Arrow explode.
+    """
+    offsets, flat = _list_offsets(batch.column("refs"))
+    counts = np.diff(offsets)
+    way_ids = np.repeat(_np(batch.column("id")), counts)
+    pos = np.arange(offsets[-1], dtype=np.int32) - np.repeat(offsets[:-1], counts).astype(np.int32)
+    first = pos == 0
+    first_parent = np.repeat(np.arange(len(batch)), counts)
+
+    def meta(col, typ):
+        vals = batch.column(col).take(pa.array(first_parent[first], pa.int64()))
+        out = np.full(len(pos), None, dtype=object)
+        out[first] = vals.to_pylist()
+        return pa.array(out, typ, from_pandas=True)
+
+    return pa.table(
+        {
+            "node_id": flat,
+            "way_id": pa.array(way_ids, pa.int64()),
+            "pos": pa.array(pos, pa.int32()),
+            "is_area": meta("is_area", pa.bool_()),
+            "ftype": meta("ftype", pa.uint64()),
+            "labels": meta("labels", pa.binary()),
+            "doc_id": meta("doc_id", pa.string()),
+            "span_idx": meta("span_idx", pa.int32()),
+        }
+    )
+
+
+def resolve_ways(
+    prepared_ways,
+    nodes_ds,
+    mode: str = "auto",
+    num_partitions: int = 32,
+    num_buckets: int | None = None,
+    broadcast_limit: int = DEFAULT_BROADCAST_LIMIT,
+):
+    """prepared ways ⋈ nodes → per-way rows ready for encoding.
+
+    Output columns: way_id (key), node_id_list (== refs, in order),
+    lon_list, lat_list (NaN = unresolved), is_area, ftype, labels,
+    doc_id, span_idx. Dataset analog of denormalize_ways
+    (/root/reference/src/denorm.rs:380-393) + per-way projection
+    (src/lib.rs:222-227).
+    """
+    num_buckets = num_buckets or num_partitions
+    exploded = prepared_ways.map_batches(
+        explode_ways_with_meta, batch_format="pyarrow", zero_copy_batch=True
+    )
+    looked = _lookup_nodes(exploded, nodes_ds, mode, num_partitions, broadcast_limit)
+    bucketed = looked.map_batches(
+        lambda b: add_bucket(b, "way_id", num_buckets), batch_format="pyarrow", zero_copy_batch=True
+    )
+    return bucketed.groupby("bucket").map_groups(
+        lambda df: regroup_bucket(
+            df,
+            "way_id",
+            "pos",
+            ["node_id", "lon", "lat"],
+            ["is_area", "ftype", "labels", "doc_id", "span_idx"],
+        ),
+        batch_format="pandas",
+    )
+
+
+# --------------------------------------------------------------------------
+# relation → way → node (two-hop, J5+J7)
+# --------------------------------------------------------------------------
+
+
+def explode_members_with_meta(batch: pa.Table) -> pa.Table:
+    """prepared-relations batch → one row per (already filtered) member.
+
+    Input: id, members (Way/inner|outer only), ftype, labels, doc_id,
+    span_idx. Output: way_id, rel_id, mpos, inner + meta on mpos==0.
+    """
+    offsets, flat = _list_offsets(batch.column("members"))
+    counts = np.diff(offsets)
+    rel_ids = np.repeat(_np(batch.column("id")), counts)
+    mpos = np.arange(offsets[-1], dtype=np.int32) - np.repeat(offsets[:-1], counts).astype(np.int32)
+    first = mpos == 0
+    first_parent = np.repeat(np.arange(len(batch)), counts)
+
+    def meta(col, typ):
+        vals = batch.column(col).take(pa.array(first_parent[first], pa.int64()))
+        out = np.full(len(mpos), None, dtype=object)
+        out[first] = vals.to_pylist()
+        return pa.array(out, typ, from_pandas=True)
+
+    roles = np.asarray(flat.field("role").to_numpy(zero_copy_only=False))
+    return pa.table(
+        {
+            "way_id": flat.field("ref"),
+            "rel_id": pa.array(rel_ids, pa.int64()),
+            "mpos": pa.array(mpos, pa.int32()),
+            "inner": pa.array(roles == "inner"),
+            "ftype": meta("ftype", pa.uint64()),
+            "labels": meta("labels", pa.binary()),
+            "doc_id": meta("doc_id", pa.string()),
+            "span_idx": meta("span_idx", pa.int32()),
+        }
+    )
+
+
+def explode_bare_way_refs(batch: pa.Table) -> pa.Table:
+    """full ways table → (wid, pos, node_id) rows (scalar columns only)."""
+    offsets, flat = _list_offsets(batch.column("refs"))
+    counts = np.diff(offsets)
+    way_ids = np.repeat(_np(batch.column("id")), counts)
+    pos = np.arange(offsets[-1], dtype=np.int32) - np.repeat(offsets[:-1], counts).astype(np.int32)
+    return pa.table(
+        {
+            "wid": pa.array(way_ids, pa.int64()),
+            "pos": pa.array(pos, pa.int32()),
+            "node_id": flat,
+        }
+    )
+
+
+def resolve_relations(
+    prepared_relations,
+    ways_ds,
+    nodes_ds,
+    mode: str = "auto",
+    num_partitions: int = 32,
+    num_buckets: int | None = None,
+    broadcast_limit: int = DEFAULT_BROADCAST_LIMIT,
+):
+    """Two-hop resolution → per-relation rows ready for encoding.
+
+    Output: rel_id, okey_list ((mpos<<32)|pos order), way_id_list,
+    node_id_list, lon_list, lat_list, inner_list + relation meta.
+    Dataset analog of denormalize_relations
+    (/root/reference/src/denorm.rs:409-436). Member order and ref
+    order survive both shuffles via okey.
+    """
+    num_buckets = num_buckets or num_partitions
+    members = prepared_relations.map_batches(
+        explode_members_with_meta, batch_format="pyarrow", zero_copy_batch=True
+    )
+    way_refs = ways_ds.select_columns(["id", "refs"]).map_batches(
+        explode_bare_way_refs, batch_format="pyarrow", zero_copy_batch=True
+    )
+    # hop 1: members ⋈ way refs (left: missing ways keep their member
+    # row so relation meta survives; their node_id stays null)
+    hop1 = members.join(
+        way_refs,
+        join_type="left_outer",
+        num_partitions=num_partitions,
+        on=("way_id",),
+        right_on=("wid",),
+    )
+
+    def fix_nulls(batch: pa.Table) -> pa.Table:
+        pos = _np(batch.column("pos"))
+        if pos.dtype.kind == "f":  # nulls from the left join → NaN
+            pos = np.where(np.isnan(pos), 0, pos)
+        pos = pos.astype(np.int64)
+        mpos = _np(batch.column("mpos")).astype(np.int64)
+        okey = (mpos << 32) | pos
+        drop = [c for c in ("pos", "wid") if c in batch.column_names]
+        out = batch.drop_columns(drop).append_column("okey", pa.array(okey, pa.int64()))
+        return out
+
+    hop1 = hop1.map_batches(fix_nulls, batch_format="pyarrow", zero_copy_batch=True)
+
+    # hop 2: ⋈ nodes (unresolved refs keep NaN coords)
+    looked = _lookup_nodes(hop1, nodes_ds, mode, num_partitions, broadcast_limit)
+
+    bucketed = looked.map_batches(
+        lambda b: add_bucket(b, "rel_id", num_buckets), batch_format="pyarrow", zero_copy_batch=True
+    )
+    return bucketed.groupby("bucket").map_groups(
+        lambda df: regroup_bucket(
+            df,
+            "rel_id",
+            "okey",
+            ["okey", "way_id", "node_id", "lon", "lat", "inner"],
+            ["ftype", "labels", "doc_id", "span_idx"],
+        ),
+        batch_format="pandas",
+    )

@@ -1,0 +1,80 @@
+"""Shared low-level helpers: varints, deterministic hashing, f32 math.
+
+The varint codec is the LEB128-style unsigned varint used by the
+georender payload layout (reference: /root/reference/src/value.rs:27-38
+reads the feature header as varint/byte/varint/varint).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+U64_MASK = 0xFFFFFFFFFFFFFFFF
+
+
+def varint_encode(value: int, out: bytearray) -> None:
+    """Append unsigned LEB128 varint bytes of ``value`` to ``out``."""
+    v = int(value)
+    if v < 0:
+        raise ValueError("varint_encode takes unsigned values")
+    while True:
+        b = v & 0x7F
+        v >>= 7
+        if v:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return
+
+
+def varint_decode(buf: bytes, offset: int = 0) -> tuple[int, int]:
+    """Decode one varint from ``buf`` at ``offset`` → (value, new_offset)."""
+    result = 0
+    shift = 0
+    while True:
+        b = buf[offset]
+        offset += 1
+        result |= (b & 0x7F) << shift
+        if not (b & 0x80):
+            return result, offset
+        shift += 7
+        if shift > 70:
+            raise ValueError("varint too long")
+
+
+def splitmix64(x: np.ndarray | int) -> np.ndarray | int:
+    """Deterministic 64-bit mix (public splitmix64 finalizer).
+
+    Vectorized over uint64 numpy arrays; used for seeded synthesis and
+    salting — never Python's ``random`` module (reproducibility).
+    """
+    scalar = np.isscalar(x)
+    z = np.asarray(x, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        z = (z + np.uint64(0x9E3779B97F4A7C15)) & np.uint64(U64_MASK)
+        z = ((z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)) & np.uint64(U64_MASK)
+        z = ((z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)) & np.uint64(U64_MASK)
+        z = z ^ (z >> np.uint64(31))
+    return int(z) if scalar else z
+
+
+def hash64_str(arr) -> np.ndarray:
+    """Deterministic 64-bit FNV-1a hash of an iterable of strings → uint64.
+
+    Used for content hashes (exact dedup) and salt derivation. Stable
+    across processes (unlike Python's ``hash``).
+    """
+    out = np.empty(len(arr), dtype=np.uint64)
+    fnv_offset = 0xCBF29CE484222325
+    fnv_prime = 0x100000001B3
+    for i, s in enumerate(arr):
+        h = fnv_offset
+        for b in s.encode("utf-8", "surrogatepass"):
+            h = ((h ^ b) * fnv_prime) & U64_MASK
+        out[i] = h
+    return out
+
+
+def hash64_bytes_np(data: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit hash of fixed-width uint64 columns (xor-mix)."""
+    return splitmix64(np.asarray(data, dtype=np.uint64))

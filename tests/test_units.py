@@ -1,0 +1,128 @@
+"""Unit tests for the kernel layer (SURVEY.md §5 strategy item 2)."""
+
+import numpy as np
+import pyarrow as pa
+
+from ingest_ray import georender, tags
+from ingest_ray.geom import bbox_reduceat, earcut, overlap_area, points_in_polygon
+from ingest_ray.osm_area import relation_is_area, way_is_area
+from ingest_ray.spans import explode_spans, parse_geo_span, serialize_node, serialize_way
+from ingest_ray.util import varint_decode, varint_encode
+
+
+def test_varint_roundtrip():
+    for v in [0, 1, 127, 128, 300, 2**32, 2**63]:
+        out = bytearray()
+        varint_encode(v, out)
+        got, off = varint_decode(bytes(out))
+        assert got == v and off == len(out)
+
+
+def test_earcut_golden_cells():
+    pos = [float(np.float32(p)) for p in [
+        5.000, -10.000, 5.000, -10.010, 5.010, -10.010, 5.010, -10.000,
+        5.005, -10.003, 5.006, -10.004, 5.007, -10.003]]
+    assert earcut(pos, [4], 2) == [0, 1, 4, 5, 4, 1, 3, 0, 4, 6, 5, 1, 3, 4, 6, 6, 1, 2, 2, 3, 6]
+
+
+def test_earcut_square_and_triangle():
+    assert earcut([0, 0, 0, 1, 1, 1, 1, 0], [], 2) == [1, 0, 3, 3, 2, 1]
+    assert len(earcut([0, 0, 1, 0, 0.5, 1], [], 2)) == 3
+
+
+def test_tags_classify_and_labels():
+    t = tags.classify_one([("amenity", "cafe")])
+    assert t == tags.get_type("amenity.cafe")
+    assert tags.classify_one([]) == tags.place_other()
+    assert tags.classify_one([("weird", "x")]) == tags.place_other()
+    # unknown value of known key → key.other
+    assert tags.classify_one([("amenity", "zzz_unknown")]) == tags.get_type("amenity.other")
+    assert tags.pack_labels([("name", "triangle park")]) == b"\x0e=triangle park\x00"
+    assert tags.pack_labels([]) == b"\x00"
+
+
+def test_georender_roundtrip():
+    p = georender.encode_point(42, (1.5, -2.5), 7, b"\x00")
+    f = georender.decode(p)
+    assert (f.id, f.kind, f.feature_type) == (42, georender.KIND_POINT, 7)
+    assert georender.payload_id(p) == 42
+
+    line = georender.encode_line(43, 8, [0.0, 0.0, 1.0, 1.0], b"\x00")
+    f = georender.decode(line)
+    assert f.positions == [0.0, 0.0, 1.0, 1.0]
+
+    area = georender.encode_area(44, 9, [0, 0, 0, 1, 1, 1], [1, 0, 2], b"\x02=x\x00")
+    f = georender.decode(area)
+    assert f.cells == [1, 0, 2] and f.labels == b"\x02=x\x00"
+    assert georender.payload_id(area) == 44
+
+
+def test_is_area_rules():
+    closed = [1, 2, 3, 1]
+    assert way_is_area([("leisure", "park")], closed)
+    assert not way_is_area([("leisure", "park")], [1, 2, 3])  # open
+    assert not way_is_area([("highway", "primary")], closed)
+    assert way_is_area([("highway", "primary"), ("area", "yes")], closed)
+    assert not way_is_area([("building", "yes"), ("area", "no")], closed)
+    assert not way_is_area([("natural", "coastline")], closed)
+    assert relation_is_area([("type", "multipolygon")])
+    assert not relation_is_area([("type", "route")])
+
+
+def test_span_roundtrip():
+    s = serialize_node(1312, 13.02, 37.0, [("amenity", "cafe"), ("name", "x y")])
+    el = parse_geo_span("node", s)
+    assert el["id"] == 1312 and el["lon"] == 13.02 and ("name", "x y") in el["tags"]
+    w = serialize_way(555, [1, 2, 3, 1], [("leisure", "park")])
+    el = parse_geo_span("way", w)
+    assert el["refs"] == [1, 2, 3, 1]
+
+
+def test_explode_spans_order():
+    from ingest_ray.spans import DOCUMENTS_SCHEMA
+
+    docs = pa.Table.from_pylist(
+        [
+            {"doc_id": "a", "spans": [
+                {"kind": "text", "text": "t0", "media_ref": "", "offset": 0},
+                {"kind": "node", "text": "n", "media_ref": "", "offset": 1}]},
+            {"doc_id": "b", "spans": [
+                {"kind": "media", "text": "", "media_ref": "media://x", "offset": 0}]},
+        ],
+        schema=DOCUMENTS_SCHEMA,
+    )
+    t = explode_spans(docs)
+    assert t.column("doc_id").to_pylist() == ["a", "a", "b"]
+    assert t.column("span_idx").to_pylist() == [0, 1, 0]
+    assert t.column("kind").to_pylist() == ["text", "node", "media"]
+
+
+def test_overlap_area_f32():
+    minx = np.array([0.0, 10.0], dtype=np.float32)
+    miny = np.array([0.0, 10.0], dtype=np.float32)
+    maxx = np.array([2.0, 12.0], dtype=np.float32)
+    maxy = np.array([2.0, 12.0], dtype=np.float32)
+    is_pt = np.array([False, False])
+    a = overlap_area((0.0, 0.0, 1.0, 1.0), minx, miny, maxx, maxy, is_pt)
+    assert a[0] == np.float32(1.0) and a[1] == 0.0
+    # point semantics: inclusive edges → 1.0
+    a = overlap_area((0.0, 0.0, 1.0, 1.0), np.array([1.0], np.float32), np.array([1.0], np.float32),
+                     np.array([1.0], np.float32), np.array([1.0], np.float32), np.array([True]))
+    assert a[0] == 1.0
+
+
+def test_points_in_polygon_with_hole():
+    ring = np.array([0, 0, 4, 0, 4, 4, 0, 4, 1, 1, 3, 1, 3, 3, 1, 3], dtype=np.float64)
+    offsets = np.array([0, 4, 8])
+    px = np.array([2.0, 0.5, 5.0])
+    py = np.array([2.0, 0.5, 5.0])
+    got = points_in_polygon(px, py, ring, offsets)
+    assert got.tolist() == [False, True, False]  # center is in the hole
+
+
+def test_bbox_reduceat():
+    vals = np.array([0, 0, 1, 2, -1, 5, 3, 3], dtype=np.float32)
+    offsets = np.array([0, 3, 4])
+    out = bbox_reduceat(vals, offsets)
+    assert out[0].tolist() == [-1.0, 0.0, 1.0, 5.0]
+    assert out[1].tolist() == [3.0, 3.0, 3.0, 3.0]
