@@ -1,0 +1,120 @@
+"""Tiling + checkpoint tests (SURVEY.md §5 items 2-3)."""
+
+import json
+import os
+import shutil
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from ingest_ray.tiles import assign_grid_cell, divide_cell_group, quad_divide
+
+
+def _features_table(minx, miny, maxx, maxy, kinds, cell=None):
+    n = len(minx)
+    d = {
+        "key": pa.array(np.arange(n, dtype=np.uint64), pa.uint64()),
+        "kind": pa.array(kinds, pa.uint8()),
+        "minx": pa.array(minx, pa.float32()),
+        "miny": pa.array(miny, pa.float32()),
+        "maxx": pa.array(maxx, pa.float32()),
+        "maxy": pa.array(maxy, pa.float32()),
+    }
+    if cell is not None:
+        d["tile_cell"] = pa.array([cell] * n, pa.int32())
+    return pa.table(d)
+
+
+def test_quad_divide_small_bucket_is_root():
+    path, depth = quad_divide(
+        (0, 0, 1, 1),
+        np.array([0.1], np.float32), np.array([0.1], np.float32),
+        np.array([0.1], np.float32), np.array([0.1], np.float32),
+        np.array([True]), n=10,
+    )
+    assert path.tolist() == [1] and depth.tolist() == [0]
+
+
+def test_quad_divide_partitions_and_capacity():
+    rng = np.arange(400, dtype=np.float64)
+    x = ((rng * 37) % 100 / 100).astype(np.float32)
+    y = ((rng * 53) % 100 / 100).astype(np.float32)
+    path, depth = quad_divide((0, 0, 1, 1), x, y, x, y, np.ones(400, bool), n=50)
+    # every feature got exactly one leaf; leaves respect capacity
+    import collections
+
+    sizes = collections.Counter(zip(path.tolist(), depth.tolist()))
+    assert sum(sizes.values()) == 400
+    assert all(s <= 50 for s in sizes.values())
+    assert (depth >= 1).all()
+
+
+def test_quad_divide_all_big_stops():
+    # interval features larger than the cell span at every level
+    n = 5
+    minx = np.full(n, -10.0, np.float32)
+    maxx = np.full(n, 10.0, np.float32)
+    path, depth = quad_divide((0, 0, 1, 1), minx, minx, maxx, maxx, np.zeros(n, bool), n=2)
+    # they all pile into one child and stop via the all_big rule
+    assert len(set(path.tolist())) == 1
+    assert depth.max() <= 2
+
+
+def test_quad_divide_degenerate_goes_child0():
+    # zero-extent interval on the midline: all overlaps 0 → child 0
+    # (divide.rs best init (0.0, 0))
+    n = 3
+    x = np.full(n, 0.5, np.float32)
+    path, depth = quad_divide((0, 0, 1, 1), x, x, x, x, np.zeros(n, bool), n=1)
+    assert all(p >> (2 * (d - 1) + 0) >= 0 for p, d in zip(path, depth))
+    first_step = [(int(p) >> (2 * (int(d) - 1))) & 3 for p, d in zip(path, depth)]
+    assert set(first_step) == {0}
+
+
+def test_grid_owner_deterministic_partition():
+    n = 1000
+    x = (np.arange(n) * 7919 % 3600 / 10 - 180).astype(np.float32)
+    y = (np.arange(n) * 104729 % 1800 / 10 - 90).astype(np.float32)
+    t = _features_table(x, y, x + 0.5, y + 0.5, np.ones(n, np.uint8) * 3)
+    out = assign_grid_cell(t, (-180, -90, 180.5, 90.5), (8, 8))
+    cells = out.column("tile_cell").to_numpy()
+    assert len(cells) == n
+    assert cells.min() >= 0 and cells.max() < 64
+    # deterministic
+    out2 = assign_grid_cell(t, (-180, -90, 180.5, 90.5), (8, 8))
+    assert (out2.column("tile_cell").to_numpy() == cells).all()
+
+
+def test_optimize_write_and_resume(ray_session, tmp_path):
+    import ray.data as rd
+
+    from ingest_ray.checkpoint import completed_cells, optimize_to_tiles, read_tiles
+
+    n = 500
+    x = (np.arange(n) * 7919 % 3600 / 10 - 180).astype(np.float32)
+    y = (np.arange(n) * 104729 % 1800 / 10 - 90).astype(np.float32)
+    t = _features_table(x, y, x, y, np.ones(n, np.uint8))
+    out_dir = str(tmp_path / "tiles_out")
+
+    ds = rd.from_arrow(t)
+    manifest = optimize_to_tiles(ds, out_dir, grid_divs=(4, 4), leaf_capacity=100)
+    man_rows = manifest.take_all()
+    assert sum(r["rows"] for r in man_rows) == n
+
+    done = completed_cells(out_dir)
+    assert len(done) > 0
+
+    back = read_tiles(out_dir)
+    assert back.count() == n
+    # every feature in exactly one tile file
+    keys = sorted(r["key"] for r in back.select_columns(["key"]).take_all())
+    assert keys == sorted(range(n))
+
+    # resume: drop one cell's manifest → only that cell re-runs
+    victim = sorted(done)[0]
+    os.remove(os.path.join(out_dir, "manifest", f"c{victim:05d}.json"))
+    manifest2 = optimize_to_tiles(rd.from_arrow(t), out_dir, grid_divs=(4, 4), leaf_capacity=100)
+    rows2 = manifest2.take_all()
+    assert {r["cell"] for r in rows2} == {victim}
+    assert read_tiles(out_dir).count() == n
