@@ -1,0 +1,167 @@
+"""Approximate / exact nearest-neighbor search over an embedding
+column (``list<float>``).
+
+* ``brute_force_topk`` — the baseline: per-batch float64 matmul of the
+  corpus against a broadcast query matrix (``ray.put`` once, read per
+  task). Exact; SQL-oracle-checkable (DuckDB list_cosine_similarity).
+* ``lsh_topk`` — the scale path: random-hyperplane LSH buckets both
+  sides, candidates only from matching buckets (± multi-probe), then
+  exact re-rank. Same output contract; recall < 1 by design.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+
+
+def _emb_matrix(table: pa.Table, id_col: str = "vec_id", emb_col: str = "embedding"):
+    ids = table.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+    col = table.column(emb_col)
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    mat = np.asarray(col.values.to_numpy(zero_copy_only=False), dtype=np.float64).reshape(
+        len(ids), -1
+    )
+    return ids, mat
+
+
+def _normalize(mat: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(mat, axis=1)
+    n[n == 0] = 1.0
+    return mat / n[:, None]
+
+
+def brute_force_topk(corpus_ds, queries_table: pa.Table, k: int = 5):
+    """corpus Dataset ⋈ query matrix → (qid, vec_id, rank) top-k by
+    cosine (ties → lower vec_id), exact.
+
+    Two stages: per-batch local top-k against the broadcast query
+    matrix (the only full pass over the corpus), then a tiny global
+    merge per query. Output is rank-only (no float column) so the
+    DuckDB oracle hash-matches exactly.
+    """
+    q_ids, q_mat = _emb_matrix(queries_table)
+    qn = _normalize(q_mat)
+    ref = ray.put((q_ids, qn))
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        qids, qmat = ray.get(ref)
+        ids, mat = _emb_matrix(batch)
+        if len(ids) == 0:
+            return pa.table(
+                {"qid": pa.array([], pa.int64()), "vec_id": pa.array([], pa.int64()),
+                 "cos": pa.array([], pa.float64())}
+            )
+        matn = _normalize(mat)
+        sims = qmat @ matn.T  # (Q, B)
+        out_q, out_v, out_c = [], [], []
+        kk = min(k, sims.shape[1])
+        for qi in range(len(qids)):
+            # partial top-k with deterministic (−cos, vec_id) order
+            order = np.lexsort((ids, -sims[qi]))[:kk]
+            out_q += [int(qids[qi])] * len(order)
+            out_v += [int(x) for x in ids[order]]
+            out_c += [float(x) for x in sims[qi][order]]
+        return pa.table(
+            {
+                "qid": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_v, pa.int64()),
+                "cos": pa.array(out_c, pa.float64()),
+            }
+        )
+
+    partials = corpus_ds.map_batches(local_topk, batch_format="pyarrow", zero_copy_batch=True)
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["cos", "vec_id"], ascending=[False, True]).head(k)
+        df = df.reset_index(drop=True)
+        df["rank"] = np.arange(len(df), dtype=np.int64)
+        return df[["qid", "vec_id", "rank"]]
+
+    return partials.groupby("qid").map_groups(merge, batch_format="pandas")
+
+
+class _LshIndexActor:
+    """Actor-pool stage: hyperplane-LSH bucketed candidate search.
+
+    __init__ builds bucket tables once per actor from the broadcast
+    corpus; __call__ answers query batches (multi-probe: exact bucket
+    plus all 1-bit-flip neighbors).
+    """
+
+    def __init__(self, corpus_ref, planes_ref, k: int):
+        ids, mat = ray.get(corpus_ref)
+        self.planes = ray.get(planes_ref)
+        self.k = k
+        self.ids = ids
+        self.matn = _normalize(mat)
+        codes = (self.matn @ self.planes.T > 0).astype(np.uint64)
+        self.codes = (codes << np.arange(self.planes.shape[0], dtype=np.uint64)[None, :]).sum(
+            axis=1
+        )
+        order = np.argsort(self.codes, kind="stable")
+        self.codes_sorted = self.codes[order]
+        self.order = order
+
+    def _bucket(self, code: int) -> np.ndarray:
+        lo = np.searchsorted(self.codes_sorted, code, side="left")
+        hi = np.searchsorted(self.codes_sorted, code, side="right")
+        return self.order[lo:hi]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        qids, qmat = _emb_matrix(batch)
+        qn = _normalize(qmat)
+        nbits = self.planes.shape[0]
+        out_q, out_v, out_r = [], [], []
+        qcodes = (qn @ self.planes.T > 0).astype(np.uint64)
+        qcodes = (qcodes << np.arange(nbits, dtype=np.uint64)[None, :]).sum(axis=1)
+        for i in range(len(qids)):
+            code = int(qcodes[i])
+            cand = [self._bucket(code)]
+            for b in range(nbits):  # multi-probe: 1-bit flips
+                cand.append(self._bucket(code ^ (1 << b)))
+            cand = np.unique(np.concatenate(cand)) if cand else np.empty(0, np.int64)
+            if len(cand) == 0:
+                continue
+            sims = self.matn[cand] @ qn[i]
+            order = np.lexsort((self.ids[cand], -sims))[: self.k]
+            sel = cand[order]
+            out_q += [int(qids[i])] * len(sel)
+            out_v += [int(x) for x in self.ids[sel]]
+            out_r += list(range(len(sel)))
+        return pa.table(
+            {
+                "qid": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_v, pa.int64()),
+                "rank": pa.array(out_r, pa.int64()),
+            }
+        )
+
+
+def lsh_topk(
+    queries_ds,
+    corpus_table: pa.Table,
+    k: int = 5,
+    nbits: int = 8,
+    seed: int = 42,
+    concurrency: int = 2,
+):
+    """LSH-bucketed ANN: deterministic hyperplanes (seeded), actor-pool
+    index, multi-probe (1-bit flips). Approximate — compare recall
+    against brute_force_topk in tests."""
+    ids, mat = _emb_matrix(corpus_table)
+    dim = mat.shape[1]
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((nbits, dim))
+    corpus_ref = ray.put((ids, mat))
+    planes_ref = ray.put(planes)
+    return queries_ds.map_batches(
+        _LshIndexActor,
+        fn_constructor_kwargs={"corpus_ref": corpus_ref, "planes_ref": planes_ref, "k": k},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=concurrency,
+    )
