@@ -140,11 +140,15 @@ def q_join_customer_orders(sf_dir: str):
     relational data)."""
     from ray.data.aggregate import Count
 
+    from ingest_ray.util import effective_num_partitions, tune_shuffle_context
+
+    tune_shuffle_context()
+    np_eff = effective_num_partitions(8)
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
     cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
     nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"])
-    j = orders.join(cust, join_type="inner", num_partitions=8, on=("o_custkey",), right_on=("c_custkey",))
-    j = j.join(nation, join_type="inner", num_partitions=8, on=("c_nationkey",), right_on=("n_nationkey",))
+    j = orders.join(cust, join_type="inner", num_partitions=np_eff, on=("o_custkey",), right_on=("c_custkey",))
+    j = j.join(nation, join_type="inner", num_partitions=np_eff, on=("c_nationkey",), right_on=("n_nationkey",))
     n_orders = j.groupby("n_name").aggregate(Count(alias_name="n_orders")).to_pandas()
     uniq = j.groupby(["n_name", "o_custkey"]).aggregate(Count(alias_name="x"))
     n_cust = uniq.groupby("n_name").aggregate(Count(alias_name="n_customers")).to_pandas()

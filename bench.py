@@ -1,0 +1,247 @@
+"""Benchmark harness — headline pipelines over $GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "num_cpus": N}
+
+Modes
+-----
+default         run the headline suite once under
+                ray.init(address="local", num_cpus=$RAY_GRAFT_CPUS or 32)
+--scaling       run the flagship ingest+tile pipeline twice in FRESH
+                subprocesses (num_cpus=8 then num_cpus=32) on identical
+                input and report throughput at both + scaling
+                efficiency (thr_32/thr_8)/4 — the two-cluster-size
+                evidence required by BASELINE.json north_rule (a real
+                multi-node cluster is unavailable in this sandbox).
+--worker N      internal: one fresh-session flagship run at N cpus.
+
+The flagship corpus is synthesized deterministically once per scale
+(cached parquet under /tmp) so both scaling runs read identical bytes.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+DEFAULT_SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+BENCH_ELEMENTS_PER_SF = 3_000_000  # sf0.1 -> 300k elements (~240k feature rows)
+
+
+def _sf_of(sf_dir: str) -> float:
+    tail = os.path.basename(os.path.normpath(sf_dir))
+    try:
+        return float(tail.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def corpus_path(sf: float) -> str:
+    """Deterministic synthetic corpus parquet, cached per scale."""
+    n = max(2_000, int(BENCH_ELEMENTS_PER_SF * sf))
+    path = f"/tmp/ingest_ray_bench/corpus_n{n}.parquet"
+    if not os.path.exists(path):
+        from ingest_ray.synth import write_corpus
+
+        write_corpus(path, n)
+    return path
+
+
+def flagship(sf_dir: str, out_dir: str) -> dict:
+    """The headline pipeline: documents → parse → joins → encode →
+    cell index → quadtile divide → checkpointed partitioned sink."""
+    import ray.data as rd
+
+    from ingest_ray.cells import add_cell_columns
+    from ingest_ray.checkpoint import optimize_to_tiles
+    from ingest_ray.config import EngineConfig
+    from ingest_ray.pipeline import ingest_features
+
+    sf = _sf_of(sf_dir)
+    corpus = corpus_path(sf)
+
+    t0 = time.perf_counter()
+    docs = rd.read_parquet(corpus)
+    # auto join mode: broadcast under 2M nodes (bench scale), shuffle
+    # hash join beyond — the same pipeline code serves both regimes.
+    feats = ingest_features(docs, EngineConfig(join_mode="auto", num_partitions=32))
+    feats = feats.map_batches(add_cell_columns, batch_format="pyarrow", zero_copy_batch=True)
+    manifest = optimize_to_tiles(
+        feats, out_dir, grid_divs=(8, 8), leaf_capacity=2048, resume=False
+    )
+    import pyarrow as pa  # noqa: F401
+
+    rows = manifest.to_pandas()
+    n_features = int(rows["rows"].sum())
+    n_tiles = int(len(rows))
+    elapsed = time.perf_counter() - t0
+    return {
+        "elapsed_s": elapsed,
+        "features": n_features,
+        "tiles": n_tiles,
+        "features_per_s": n_features / elapsed,
+        "tiles_per_s": n_tiles / elapsed,
+    }
+
+
+def run_worker(num_cpus: int, sf_dir: str) -> None:
+    import shutil
+
+    import ray
+
+    out_dir = f"/tmp/ingest_ray_bench/out_cpus{num_cpus}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    corpus_path(_sf_of(sf_dir))  # synthesize outside the timed region
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False)
+    try:
+        res = flagship(sf_dir, out_dir)
+    finally:
+        ray.shutdown()
+    res["num_cpus"] = num_cpus
+    print("WORKER_RESULT " + json.dumps(res))
+
+
+def run_scaling(sf_dir: str) -> None:
+    """Two fresh-process runs (8 vs 32 cpus) on identical input."""
+    results = {}
+    for cpus in (8, 32):
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--worker", str(cpus), "--sf-dir", sf_dir],
+            capture_output=True,
+            text=True,
+            timeout=3600,
+            cwd=REPO,
+        )
+        line = [l for l in proc.stdout.splitlines() if l.startswith("WORKER_RESULT ")]
+        if not line:
+            sys.stderr.write(proc.stdout[-2000:] + "\n" + proc.stderr[-4000:] + "\n")
+            raise RuntimeError(f"worker at {cpus} cpus failed")
+        results[cpus] = json.loads(line[-1][len("WORKER_RESULT "):])
+
+    thr8 = results[8]["features_per_s"]
+    thr32 = results[32]["features_per_s"]
+    eff = (thr32 / thr8) / (32 / 8)
+    out = {
+        "metric": "ingest_scaling",
+        "value": round(eff, 4),
+        "unit": "efficiency",
+        "sf": _sf_of(sf_dir),
+        "runs": {
+            str(c): {
+                "features_per_s": round(r["features_per_s"], 1),
+                "tiles_per_s": round(r["tiles_per_s"], 2),
+                "elapsed_s": round(r["elapsed_s"], 2),
+                "features": r["features"],
+                "tiles": r["tiles"],
+            }
+            for c, r in results.items()
+        },
+        "scaling_efficiency": round(eff, 4),
+        "match": results[8]["features"] == results[32]["features"],
+    }
+    print(json.dumps(out))
+
+
+# --------------------------------------------------------------------------
+# headline suite (default mode)
+# --------------------------------------------------------------------------
+
+
+def suite(sf_dir: str) -> dict[str, float]:
+    """Headline pipelines, timed individually. Each consumes its
+    Dataset fully (count/write) — no lazy no-ops."""
+    import __ray_entry__ as E
+
+    def consume(res):
+        import pandas as pd
+        import pyarrow as pa
+
+        if isinstance(res, (pd.DataFrame, pa.Table)):
+            return len(res)
+        return res.count()
+
+    timings: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.perf_counter()
+        fn()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    out_dir = "/tmp/ingest_ray_bench/suite_out"
+    import shutil
+
+    shutil.rmtree(out_dir, ignore_errors=True)
+    timed("ingest_tiles", lambda: flagship(sf_dir, out_dir))
+
+    for name in (
+        "q1_lineitem",
+        "join_customer_orders",
+        "filter_project",
+        "topk_orders",
+        "window_events",
+        "sessionize_events",
+        "dedup_exact",
+        "token_count",
+        "minhash_pairs_docs",
+        "simhash_pairs_docs",
+        "ann_topk",
+        "lsh_ann",
+        "embedding_near_dup",
+        "cells_synth",
+        "knn_geo_synth",
+        "pip_geo_synth",
+        "raster_vector_synth",
+    ):
+        q = E.queries()[name]
+        timed(name, lambda q=q: consume(q(sf_dir)))
+
+    return timings
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--worker", type=int, default=None)
+    ap.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
+    args = ap.parse_args()
+
+    if args.worker is not None:
+        run_worker(args.worker, args.sf_dir)
+        return
+    if args.scaling:
+        run_scaling(args.sf_dir)
+        return
+
+    import ray
+
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus, include_dashboard=False)
+    try:
+        timings = suite(args.sf_dir)
+    finally:
+        ray.shutdown()
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_total",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": _sf_of(args.sf_dir),
+                "num_cpus": num_cpus,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

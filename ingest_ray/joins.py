@@ -43,7 +43,7 @@ import pandas as pd
 import pyarrow as pa
 import ray
 
-from .util import splitmix64
+from .util import effective_num_partitions, splitmix64, tune_shuffle_context
 
 DEFAULT_BROADCAST_LIMIT = 2_000_000
 
@@ -131,11 +131,12 @@ def _lookup_nodes(ds, nodes_ds, mode: str, num_partitions: int, broadcast_limit:
             return out.append_column("lat", pa.array(lat, pa.float64()))
 
         return ds.map_batches(lookup, batch_format="pyarrow", zero_copy_batch=True)
+    tune_shuffle_context()
     nodes_side = nodes_ds.select_columns(["id", "lon", "lat"]).rename_columns({"id": "nid"})
     joined = ds.join(
         nodes_side,
         join_type="left_outer",
-        num_partitions=num_partitions,
+        num_partitions=effective_num_partitions(num_partitions),
         on=("node_id",),
         right_on=("nid",),
     )
@@ -370,10 +371,11 @@ def resolve_relations(
     )
     # hop 1: members ⋈ way refs (left: missing ways keep their member
     # row so relation meta survives; their node_id stays null)
+    tune_shuffle_context()
     hop1 = members.join(
         way_refs,
         join_type="left_outer",
-        num_partitions=num_partitions,
+        num_partitions=effective_num_partitions(num_partitions),
         on=("way_id",),
         right_on=("wid",),
     )

@@ -78,3 +78,44 @@ def hash64_str(arr) -> np.ndarray:
 def hash64_bytes_np(data: np.ndarray) -> np.ndarray:
     """Vectorized 64-bit hash of fixed-width uint64 columns (xor-mix)."""
     return splitmix64(np.asarray(data, dtype=np.uint64))
+
+
+def cluster_cpus(default: int = 8) -> int:
+    """Logical CPUs of the connected Ray cluster (``default`` if unknown)."""
+    try:
+        import ray
+
+        if ray.is_initialized():
+            return int(ray.cluster_resources().get("CPU", default)) or default
+    except Exception:
+        pass
+    return default
+
+
+def tune_shuffle_context() -> None:
+    """Size hash-shuffle/join aggregator pools for the current cluster.
+
+    Ray 2.49's JoinOperator reserves an actor pool per join
+    (``num_partitions`` aggregators, each with its own CPU+memory
+    demand). In local mode the cluster-config fallback over-allocates:
+    several concurrent joins deadlock an 8-CPU node (observed: reads
+    backpressured forever). One pool should cost ≤ ~1/8 of the
+    cluster, so per-partition CPU = (cpus/8)/partitions, floored.
+    Idempotent; respects values the user already set.
+    """
+    from ray.data.context import DataContext
+
+    ctx = DataContext.get_current()
+    if ctx.join_operator_actor_num_cpus_per_partition_override is None:
+        ctx.join_operator_actor_num_cpus_per_partition_override = 0.0625
+    if ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override is None:
+        ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override = 0.0625
+
+
+def effective_num_partitions(requested: int, min_parts: int = 2) -> int:
+    """Cap a shuffle/join partition count by cluster size.
+
+    At planet scale ``requested`` (hundreds+) wins; on a small local
+    cluster the cap keeps aggregator pools schedulable.
+    """
+    return max(min_parts, min(requested, cluster_cpus()))
