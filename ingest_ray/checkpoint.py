@@ -139,6 +139,9 @@ def optimize_to_tiles(
     single root-builder replaced by per-cell manifests.
     """
     if bounds is None:
+        # avoid double DAG execution (bounds aggregate + shuffle):
+        # materialize the (small, about-to-shuffle) features first
+        features_ds = features_ds.materialize()
         bounds = global_bounds(features_ds)
     os.makedirs(out_path, exist_ok=True)
     with open(os.path.join(out_path, "bounds.json"), "w") as f:

@@ -284,22 +284,38 @@ def raster_vector_join(features_ds, chips_table: pa.Table, res: int = 7):
     Broadcast chips (sorted-array lookup); for planet-scale rasters,
     swap the broadcast for a Dataset.join on ``cell``.
     """
-    cells_sorted = np.sort(chips_table.column("cell").to_numpy(zero_copy_only=False))
-    order = np.argsort(chips_table.column("cell").to_numpy(zero_copy_only=False), kind="stable")
+    raw_cells = chips_table.column("cell").to_numpy(zero_copy_only=False)
+    cells_sorted = np.sort(raw_cells)
+    order = np.argsort(raw_cells, kind="stable")
     vals_sorted = chips_table.column("band_mean").to_numpy(zero_copy_only=False)[order]
+
+    # raster extent: feature bboxes are clipped to it before covering —
+    # a world-spanning feature would otherwise expand to millions of
+    # cover cells that cannot match any chip anyway
+    from .cells import _hex_size, hex_center
+
+    ccx, ccy = hex_center(raw_cells)
+    margin = 2.0 * _hex_size(res)
+    extent = (
+        float(ccx.min() - margin),
+        float(ccy.min() - margin),
+        float(ccx.max() + margin),
+        float(ccy.max() + margin),
+    )
     ref = ray.put((cells_sorted, vals_sorted))
 
     from .cells import hex_cover_bbox
 
     def fn(batch: pa.Table) -> pa.Table:
         cells_s, vals_s = ray.get(ref)
-        minx = batch.column("minx").to_numpy(zero_copy_only=False)
-        miny = batch.column("miny").to_numpy(zero_copy_only=False)
-        maxx = batch.column("maxx").to_numpy(zero_copy_only=False)
-        maxy = batch.column("maxy").to_numpy(zero_copy_only=False)
+        minx = np.maximum(batch.column("minx").to_numpy(zero_copy_only=False), extent[0])
+        miny = np.maximum(batch.column("miny").to_numpy(zero_copy_only=False), extent[1])
+        maxx = np.minimum(batch.column("maxx").to_numpy(zero_copy_only=False), extent[2])
+        maxy = np.minimum(batch.column("maxy").to_numpy(zero_copy_only=False), extent[3])
         keys = batch.column("key").to_numpy(zero_copy_only=False)
+        overlaps = (minx <= maxx) & (miny <= maxy)
         out_key, out_mean, out_n = [], [], []
-        for i in range(len(keys)):
+        for i in np.flatnonzero(overlaps):
             cover = hex_cover_bbox(minx[i], miny[i], maxx[i], maxy[i], res)
             idx = np.searchsorted(cells_s, cover)
             idx_c = np.clip(idx, 0, len(cells_s) - 1)

@@ -263,8 +263,15 @@ def assign_tiles(
     the owner cell — every feature lands in exactly one tile
     (partition property, tested), so the reference's cross-worker skip
     map (ST5) is eliminated.
+
+    When bounds are not supplied the features Dataset is materialized
+    first: the bounds aggregate and the tile shuffle would otherwise
+    each re-execute the whole upstream DAG (parse+joins+encode twice).
+    Features are far smaller than the input corpus and are about to be
+    shuffled anyway; the object store spills if needed.
     """
     if bounds is None:
+        features_ds = features_ds.materialize()
         bounds = global_bounds(features_ds)
 
     with_cell = features_ds.map_batches(
