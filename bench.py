@@ -33,7 +33,7 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 
 DEFAULT_SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
-BENCH_ELEMENTS_PER_SF = 3_000_000  # sf0.1 -> 300k elements (~240k feature rows)
+BENCH_ELEMENTS_PER_SF = 30_000_000  # sf0.1 -> 3M elements (~420k feature rows)
 
 
 def _sf_of(sf_dir: str) -> float:

@@ -14,6 +14,9 @@ class EngineConfig:
     join_mode: str = "auto"  # auto | broadcast | shuffle
     num_partitions: int = 32  # hash-join / regroup partition count
     broadcast_limit: int = 2_000_000  # max build-side rows for broadcast joins
+    # parse each element table once (nodes/ways feed multiple branches);
+    # the materialized tables are far smaller than the document corpus
+    materialize_elements: bool = True
 
     # batching (reference: CH_TAKE_LEN 10k / BATCH_SEND 10k / BATCH 100k)
     parse_batch_size: int = 4096  # documents per parse batch

@@ -65,64 +65,123 @@ def _tags_to_arrow(tag_lists: list[list[tuple[str, str]]]) -> pa.Array:
     )
 
 
+def _combine(col):
+    return col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+
+
+def _field_after(col: pa.Array, prefix: str) -> pa.Array:
+    """'k=v' string column → 'v' (fixed-width prefix strip)."""
+    return pc.utf8_slice_codeunits(col, len(prefix))
+
+
+def _parse_tags_column(tags_str: pa.Array) -> pa.Array:
+    """'k=v;k=v' column → TAGS_TYPE list column.
+
+    Empty strings (the common case — ~90% of synthetic elements are
+    untagged) cost nothing; only non-empty cells hit Python.
+    """
+    py = tags_str.to_pylist()
+    out: list[list[dict]] = []
+    for s in py:
+        if not s:
+            out.append([])
+        else:
+            cells = []
+            for part in s.split(";"):
+                k, _, v = part.partition("=")
+                cells.append({"key": k, "value": v})
+            out.append(cells)
+    return pa.array(out, type=TAGS_TYPE)
+
+
+def _split_list_cast(col: pa.Array, sep: str, caster) -> pa.Array:
+    """Vectorized 'a,b,c' column → list column via ``caster`` on the
+    flat values; empty strings become empty lists."""
+    parts = _combine(pc.split_pattern(col, sep))
+    raw_off = parts.offsets.to_numpy(zero_copy_only=False)
+    off = (raw_off - raw_off[0]).astype(np.int64)
+    flat = parts.flatten()
+    counts = np.diff(off)
+    empty = np.asarray(pc.equal(col, "").to_numpy(zero_copy_only=False))
+    if empty.any():
+        keep = np.repeat(~empty, counts)
+        flat = flat.filter(pa.array(keep))
+        counts = np.where(empty, 0, counts)
+        off = np.concatenate([[0], np.cumsum(counts)])
+    return pa.ListArray.from_arrays(pa.array(off, pa.int32()), caster(flat))
+
+
 def parse_kind_batch(batch: pa.Table, kind: str) -> pa.Table:
-    """One documents batch → element table of a single kind."""
+    """One documents batch → element table of a single kind.
+
+    Vectorized over the pipe-delimited span grammar: one
+    ``split_pattern`` per batch + fixed-prefix slices + arrow casts.
+    Python touches only tag strings of tagged elements (~10%). The
+    per-row reference parser (``spans.parse_geo_span``) stays as the
+    conformance oracle for this code (tested equal).
+    """
     spans = explode_spans(batch)
     mask = pc.equal(spans.column("kind"), kind)
     spans = spans.filter(mask)
-    texts = spans.column("text").to_pylist()
+    texts = _combine(spans.column("text"))
     doc_ids = spans.column("doc_id")
     span_idx = spans.column("span_idx")
+    n = len(texts)
+    if n == 0:
+        return {"node": NODES_SCHEMA, "way": WAYS_SCHEMA, "relation": RELATIONS_SCHEMA}[
+            kind
+        ].empty_table()
 
-    ids = np.empty(len(texts), dtype=np.int64)
-    tag_lists: list[list[tuple[str, str]]] = []
+    parts = _combine(pc.split_pattern(texts, "|"))
+    ids = pc.cast(_field_after(_combine(pc.list_element(parts, 1)), "id="), pa.int64())
+
     if kind == "node":
-        lons = np.empty(len(texts), dtype=np.float64)
-        lats = np.empty(len(texts), dtype=np.float64)
-        for i, t in enumerate(texts):
-            el = parse_geo_span(kind, t)
-            ids[i] = el["id"]
-            lons[i] = el["lon"]
-            lats[i] = el["lat"]
-            tag_lists.append(el["tags"])
+        lon = pc.cast(_field_after(_combine(pc.list_element(parts, 2)), "lon="), pa.float64())
+        lat = pc.cast(_field_after(_combine(pc.list_element(parts, 3)), "lat="), pa.float64())
+        tags = _parse_tags_column(_field_after(_combine(pc.list_element(parts, 4)), "tags="))
         return pa.table(
             {
-                "id": pa.array(ids),
-                "lon": pa.array(lons),
-                "lat": pa.array(lats),
-                "tags": _tags_to_arrow(tag_lists),
+                "id": ids,
+                "lon": lon,
+                "lat": lat,
+                "tags": tags,
                 "doc_id": doc_ids,
                 "span_idx": span_idx,
             }
         ).cast(NODES_SCHEMA)
+
     if kind == "way":
-        refs_lists = []
-        for i, t in enumerate(texts):
-            el = parse_geo_span(kind, t)
-            ids[i] = el["id"]
-            refs_lists.append(el["refs"])
-            tag_lists.append(el["tags"])
+        refs_str = _field_after(_combine(pc.list_element(parts, 2)), "refs=")
+        refs = _split_list_cast(refs_str, ",", lambda f: pc.cast(f, pa.int64()))
+        tags = _parse_tags_column(_field_after(_combine(pc.list_element(parts, 3)), "tags="))
         return pa.table(
             {
-                "id": pa.array(ids),
-                "refs": pa.array(refs_lists, pa.list_(pa.int64())),
-                "tags": _tags_to_arrow(tag_lists),
+                "id": ids,
+                "refs": refs,
+                "tags": tags,
                 "doc_id": doc_ids,
                 "span_idx": span_idx,
             }
         ).cast(WAYS_SCHEMA)
+
     if kind == "relation":
-        member_lists = []
-        for i, t in enumerate(texts):
-            el = parse_geo_span(kind, t)
-            ids[i] = el["id"]
-            member_lists.append(el["members"])
-            tag_lists.append(el["tags"])
+
+        def member_caster(flat: pa.Array) -> pa.Array:
+            # 'way:outer:600' triplets → struct(ref, mtype, role)
+            trip = _combine(pc.split_pattern(flat, ":"))
+            mtype = _combine(pc.list_element(trip, 0))
+            role = _combine(pc.list_element(trip, 1))
+            ref = pc.cast(_combine(pc.list_element(trip, 2)), pa.int64())
+            return pa.StructArray.from_arrays([ref, mtype, role], names=["ref", "mtype", "role"])
+
+        members_str = _field_after(_combine(pc.list_element(parts, 2)), "members=")
+        members = _split_list_cast(members_str, ",", member_caster)
+        tags = _parse_tags_column(_field_after(_combine(pc.list_element(parts, 3)), "tags="))
         return pa.table(
             {
-                "id": pa.array(ids),
-                "members": pa.array(member_lists, MEMBERS_TYPE),
-                "tags": _tags_to_arrow(tag_lists),
+                "id": ids,
+                "members": members,
+                "tags": tags,
                 "doc_id": doc_ids,
                 "span_idx": span_idx,
             }

@@ -65,45 +65,60 @@ def _is_nan(v) -> bool:
 
 
 def encode_nodes_batch(batch: pa.Table) -> pa.Table:
-    """nodes → point features (src/lib.rs:142-160)."""
+    """nodes → point features (src/lib.rs:142-160).
+
+    Fully vectorized: classification touches only tagged rows, payloads
+    assemble through the batched varint/scatter encoder
+    (georender.encode_points_vec) — nodes are the bulk of a planet
+    corpus, so this stage has no per-row Python.
+    """
     ftypes, labels = tags_mod.classify_batch(batch.column("tags"))
     other = tags_mod.place_other()
-    keep = ftypes != other
-    if not keep.any():
+    keep = np.flatnonzero(ftypes != other)
+    if len(keep) == 0:
         return FEATURES_SCHEMA.empty_table()
-    ids = batch.column("id").to_numpy(zero_copy_only=False)
-    lon = batch.column("lon").to_numpy(zero_copy_only=False).astype(np.float32)
-    lat = batch.column("lat").to_numpy(zero_copy_only=False).astype(np.float32)
-    doc_ids = batch.column("doc_id").to_pylist()
-    span_idx = batch.column("span_idx").to_numpy(zero_copy_only=False)
+    sub = batch.take(pa.array(keep, pa.int64()))
+    ids = sub.column("id").to_numpy(zero_copy_only=False).astype(np.int64)
+    lon = sub.column("lon").to_numpy(zero_copy_only=False).astype(np.float32)
+    lat = sub.column("lat").to_numpy(zero_copy_only=False).astype(np.float32)
+    n = len(keep)
+    fids = (ids * 3).astype(np.uint64)
+    kept_ftypes = ftypes[keep]
+    kept_labels = [labels[i] for i in keep]
 
-    rows = []
-    for i in np.flatnonzero(keep):
-        fid = int(ids[i]) * 3 + 0
-        payload = georender.node_from_parsed(
-            fid, (float(lon[i]), float(lat[i])), int(ftypes[i]), labels[i]
-        )
-        if not payload:
-            continue
-        rows.append(
-            {
-                "key": fid,
-                "ftype": int(ftypes[i]),
-                "kind": georender.KIND_POINT,
-                "minx": float(lon[i]),
-                "miny": float(lat[i]),
-                "maxx": float(lon[i]),
-                "maxy": float(lat[i]),
-                "positions": [float(lon[i]), float(lat[i])],
-                "ring_offsets": [],
-                "cells": [],
-                "labels": labels[i],
-                "payload": payload,
-                "doc_id": doc_ids[i],
-                "span_idx": int(span_idx[i]),
-            }
-        )
-    return _rows_to_table(rows)
+    pay_flat, pay_offs = georender.encode_points_vec(fids, lon, lat, kept_ftypes, kept_labels)
+    payload = pa.Array.from_buffers(
+        pa.binary(), n, [None, pa.py_buffer(pay_offs), pa.py_buffer(pay_flat)]
+    )
+    lab_flat = np.frombuffer(b"".join(kept_labels), dtype=np.uint8)
+    lab_offs = np.zeros(n + 1, dtype=np.int32)
+    np.cumsum([len(b) for b in kept_labels], out=lab_offs[1:])
+    labels_arr = pa.Array.from_buffers(
+        pa.binary(), n, [None, pa.py_buffer(lab_offs), pa.py_buffer(lab_flat)]
+    )
+    pos_flat = np.empty(2 * n, dtype=np.float32)
+    pos_flat[0::2] = lon
+    pos_flat[1::2] = lat
+    pos_offs = pa.array(np.arange(0, 2 * n + 2, 2, dtype=np.int64).astype(np.int32), pa.int32())
+    empty_offs = pa.array(np.zeros(n + 1, dtype=np.int32), pa.int32())
+    return pa.table(
+        {
+            "key": pa.array(fids, pa.uint64()),
+            "ftype": pa.array(kept_ftypes, pa.uint64()),
+            "kind": pa.array(np.full(n, georender.KIND_POINT, dtype=np.uint8), pa.uint8()),
+            "minx": pa.array(lon, pa.float32()),
+            "miny": pa.array(lat, pa.float32()),
+            "maxx": pa.array(lon, pa.float32()),
+            "maxy": pa.array(lat, pa.float32()),
+            "positions": pa.ListArray.from_arrays(pos_offs, pa.array(pos_flat, pa.float32())),
+            "ring_offsets": pa.ListArray.from_arrays(empty_offs, pa.array([], pa.int32())),
+            "cells": pa.ListArray.from_arrays(empty_offs, pa.array([], pa.int32())),
+            "labels": labels_arr,
+            "payload": payload,
+            "doc_id": sub.column("doc_id"),
+            "span_idx": sub.column("span_idx"),
+        }
+    ).cast(FEATURES_SCHEMA)
 
 
 # --------------------------------------------------------------------------

@@ -55,9 +55,14 @@ def _np(col) -> np.ndarray:
 
 
 def _list_offsets(col) -> tuple[np.ndarray, pa.Array]:
+    """(normalized offsets, flat values) of a list column.
+
+    Offsets are re-based to 0 so they align with ``flatten()`` even on
+    sliced arrays (a sliced ListArray keeps its parent's offsets)."""
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
-    return col.offsets.to_numpy(zero_copy_only=False), col.flatten()
+    off = col.offsets.to_numpy(zero_copy_only=False)
+    return off - off[0], col.flatten()
 
 
 # --------------------------------------------------------------------------
@@ -102,6 +107,47 @@ def build_node_index(nodes_ds) -> "ray.ObjectRef":
             np.asarray(_np(t.column("lat")), dtype=np.float64),
         )
     )
+
+
+class WayRefsIndex:
+    """Sorted-array ``way_id → refs-span`` lookup (broadcast side of
+    the relation two-hop join — the analog of the reference's bare-way
+    stream into ``way_deps``, /root/reference/src/denorm.rs:409-421)."""
+
+    def __init__(self, ids: np.ndarray, offsets: np.ndarray, flat: np.ndarray):
+        order = np.argsort(ids, kind="stable")
+        self.ids = ids[order]
+        self.starts = offsets[:-1][order]
+        self.counts = np.diff(offsets)[order]
+        self.flat = flat
+
+    def lookup(self, keys: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        if len(self.ids) == 0:
+            z = np.zeros(len(keys), dtype=np.int64)
+            return np.zeros(len(keys), dtype=bool), z, z
+        idx = np.searchsorted(self.ids, keys)
+        idx_c = np.clip(idx, 0, len(self.ids) - 1)
+        found = (idx < len(self.ids)) & (self.ids[idx_c] == keys)
+        return found, self.starts[idx_c], self.counts[idx_c]
+
+
+def build_way_refs_index(ways_ds) -> "ray.ObjectRef":
+    """Collect (id, refs) into a WayRefsIndex ref (pruned read)."""
+    tbls = list(
+        ways_ds.select_columns(["id", "refs"]).iter_batches(
+            batch_size=1 << 20, batch_format="pyarrow"
+        )
+    )
+    if tbls:
+        t = pa.concat_tables(tbls)
+        offsets, flat = _list_offsets(t.column("refs"))
+        ids = np.asarray(_np(t.column("id")), dtype=np.int64)
+        flat_np = np.asarray(flat.to_numpy(zero_copy_only=False), dtype=np.int64)
+    else:
+        ids = np.empty(0, dtype=np.int64)
+        offsets = np.zeros(1, dtype=np.int64)
+        flat_np = np.empty(0, dtype=np.int64)
+    return ray.put(WayRefsIndex(ids, np.asarray(offsets, dtype=np.int64), flat_np))
 
 
 def _estimate_small(ds, limit: int) -> bool:
@@ -255,6 +301,41 @@ def explode_ways_with_meta(batch: pa.Table) -> pa.Table:
     )
 
 
+def _resolve_ways_broadcast(prepared_ways, node_idx_ref):
+    """Zero-shuffle way resolution: refs of a way are contiguous inside
+    every prepared batch, so coord lookup happens in place — flatten the
+    refs list, one vectorized searchsorted, rebuild the lists with the
+    SAME offsets. No explode→shuffle→regroup roundtrip (the sort-based
+    regroup dominated small-cluster wall time)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        idx: BroadcastIndex = ray.get(node_idx_ref)
+        refs = batch.column("refs")
+        if isinstance(refs, pa.ChunkedArray):
+            refs = refs.combine_chunks()
+        off_np, flat_arr = _list_offsets(refs)
+        flat = np.asarray(flat_arr.to_numpy(zero_copy_only=False), dtype=np.int64)
+        found, (lon, lat) = idx.lookup(flat)
+        lon = np.where(found, lon, np.nan)
+        lat = np.where(found, lat, np.nan)
+        off_arr = pa.array(off_np, pa.int32())
+        return pa.table(
+            {
+                "way_id": batch.column("id"),
+                "node_id_list": refs,
+                "lon_list": pa.ListArray.from_arrays(off_arr, pa.array(lon, pa.float64())),
+                "lat_list": pa.ListArray.from_arrays(off_arr, pa.array(lat, pa.float64())),
+                "is_area": batch.column("is_area"),
+                "ftype": batch.column("ftype"),
+                "labels": batch.column("labels"),
+                "doc_id": batch.column("doc_id"),
+                "span_idx": batch.column("span_idx"),
+            }
+        )
+
+    return prepared_ways.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def resolve_ways(
     prepared_ways,
     nodes_ds,
@@ -262,6 +343,7 @@ def resolve_ways(
     num_partitions: int = 32,
     num_buckets: int | None = None,
     broadcast_limit: int = DEFAULT_BROADCAST_LIMIT,
+    node_idx_ref=None,
 ):
     """prepared ways ⋈ nodes → per-way rows ready for encoding.
 
@@ -270,7 +352,16 @@ def resolve_ways(
     doc_id, span_idx. Dataset analog of denormalize_ways
     (/root/reference/src/denorm.rs:380-393) + per-way projection
     (src/lib.rs:222-227).
+
+    ``broadcast`` mode is shuffle-free (in-batch lookup); ``shuffle``
+    is the planet-scale path: distributed hash join + bucket regroup.
     """
+    if mode == "auto":
+        mode = "broadcast" if _estimate_small(nodes_ds, broadcast_limit) else "shuffle"
+    if mode == "broadcast":
+        return _resolve_ways_broadcast(
+            prepared_ways, node_idx_ref or build_node_index(nodes_ds)
+        )
     num_buckets = num_buckets or num_partitions
     exploded = prepared_ways.map_batches(
         explode_ways_with_meta, batch_format="pyarrow", zero_copy_batch=True
@@ -345,6 +436,94 @@ def explode_bare_way_refs(batch: pa.Table) -> pa.Table:
     )
 
 
+def _resolve_relations_broadcast(prepared_relations, way_idx_ref, node_idx_ref):
+    """Zero-shuffle two-hop resolution: member rows of a relation are
+    contiguous in every prepared batch; member→refs expansion and
+    ref→coord lookup are vectorized gathers against the two broadcast
+    indexes, and per-relation lists rebuild from computed offsets —
+    already in (member pos, ref pos) order, so no sort either."""
+
+    MISSING = np.int64(-(2**62))
+
+    def fn(batch: pa.Table) -> pa.Table:
+        widx: WayRefsIndex = ray.get(way_idx_ref)
+        nidx: BroadcastIndex = ray.get(node_idx_ref)
+        if len(batch) == 0:
+            return _REL_RESOLVED_SCHEMA.empty_table()
+        members = batch.column("members")
+        if isinstance(members, pa.ChunkedArray):
+            members = members.combine_chunks()
+        m_off_raw, m_flat = _list_offsets(members)
+        m_off = m_off_raw.astype(np.int64)
+        m_way = np.asarray(m_flat.field("ref").to_numpy(zero_copy_only=False), dtype=np.int64)
+        roles = np.asarray(m_flat.field("role").to_numpy(zero_copy_only=False))
+        m_inner = roles == "inner"
+        m_counts = np.diff(m_off)
+        m_parent = np.repeat(np.arange(len(batch)), m_counts)
+        m_pos = np.arange(m_off[-1], dtype=np.int64) - np.repeat(m_off[:-1], m_counts)
+
+        found_w, starts, counts = widx.lookup(m_way)
+        counts_eff = np.where(found_w, counts, 1).astype(np.int64)  # missing way → 1 null row
+        total = int(counts_eff.sum())
+        first_of = np.repeat(np.cumsum(counts_eff) - counts_eff, counts_eff)
+        within = np.arange(total, dtype=np.int64) - first_of
+        src = np.repeat(starts, counts_eff) + within
+        found_w_r = np.repeat(found_w, counts_eff)
+        node_id = np.where(
+            found_w_r, widx.flat[np.clip(src, 0, max(len(widx.flat) - 1, 0))], MISSING
+        )
+        rel_row = np.repeat(m_parent, counts_eff)
+        okey = (np.repeat(m_pos, counts_eff) << np.int64(32)) | within
+        way_id_r = np.repeat(m_way, counts_eff)
+        inner_r = np.repeat(m_inner, counts_eff)
+
+        found_n, (lon, lat) = nidx.lookup(node_id)
+        ok_n = found_n & (node_id != MISSING)
+        lon = np.where(ok_n, lon, np.nan)
+        lat = np.where(ok_n, lat, np.nan)
+
+        rel_counts = np.bincount(rel_row, minlength=len(batch)).astype(np.int64)
+        offs = np.concatenate([[0], np.cumsum(rel_counts)])
+        off_arr = pa.array(offs, pa.int32())
+        null_mask = node_id == MISSING
+        return pa.table(
+            {
+                "rel_id": batch.column("id"),
+                "okey_list": pa.ListArray.from_arrays(off_arr, pa.array(okey, pa.int64())),
+                "way_id_list": pa.ListArray.from_arrays(off_arr, pa.array(way_id_r, pa.int64())),
+                "node_id_list": pa.ListArray.from_arrays(
+                    off_arr, pa.array(node_id, pa.int64(), mask=null_mask)
+                ),
+                "lon_list": pa.ListArray.from_arrays(off_arr, pa.array(lon, pa.float64())),
+                "lat_list": pa.ListArray.from_arrays(off_arr, pa.array(lat, pa.float64())),
+                "inner_list": pa.ListArray.from_arrays(off_arr, pa.array(inner_r, pa.bool_())),
+                "ftype": batch.column("ftype"),
+                "labels": batch.column("labels"),
+                "doc_id": batch.column("doc_id"),
+                "span_idx": batch.column("span_idx"),
+            }
+        )
+
+    return prepared_relations.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+_REL_RESOLVED_SCHEMA = pa.schema(
+    [
+        pa.field("rel_id", pa.int64()),
+        pa.field("okey_list", pa.list_(pa.int64())),
+        pa.field("way_id_list", pa.list_(pa.int64())),
+        pa.field("node_id_list", pa.list_(pa.int64())),
+        pa.field("lon_list", pa.list_(pa.float64())),
+        pa.field("lat_list", pa.list_(pa.float64())),
+        pa.field("inner_list", pa.list_(pa.bool_())),
+        pa.field("ftype", pa.uint64()),
+        pa.field("labels", pa.binary()),
+        pa.field("doc_id", pa.string()),
+        pa.field("span_idx", pa.int32()),
+    ]
+)
+
+
 def resolve_relations(
     prepared_relations,
     ways_ds,
@@ -353,6 +532,8 @@ def resolve_relations(
     num_partitions: int = 32,
     num_buckets: int | None = None,
     broadcast_limit: int = DEFAULT_BROADCAST_LIMIT,
+    node_idx_ref=None,
+    way_idx_ref=None,
 ):
     """Two-hop resolution → per-relation rows ready for encoding.
 
@@ -360,8 +541,17 @@ def resolve_relations(
     node_id_list, lon_list, lat_list, inner_list + relation meta.
     Dataset analog of denormalize_relations
     (/root/reference/src/denorm.rs:409-436). Member order and ref
-    order survive both shuffles via okey.
+    order survive both shuffles via okey. ``broadcast`` mode is fully
+    in-batch (both hops against broadcast indexes, zero shuffles).
     """
+    if mode == "auto":
+        mode = "broadcast" if _estimate_small(nodes_ds, broadcast_limit) else "shuffle"
+    if mode == "broadcast":
+        return _resolve_relations_broadcast(
+            prepared_relations,
+            way_idx_ref or build_way_refs_index(ways_ds),
+            node_idx_ref or build_node_index(nodes_ds),
+        )
     num_buckets = num_buckets or num_partitions
     members = prepared_relations.map_batches(
         explode_members_with_meta, batch_format="pyarrow", zero_copy_batch=True

@@ -30,8 +30,33 @@ def ingest_features(documents_ds, config: EngineConfig | None = None):
     cfg = config or EngineConfig()
     branches = []
 
+    need_ways = cfg.ingest_way or cfg.ingest_relation
     nodes_ds = elements_dataset(documents_ds, "node")
-    ways_ds = elements_dataset(documents_ds, "way") if (cfg.ingest_way or cfg.ingest_relation) else None
+    ways_ds = elements_dataset(documents_ds, "way") if need_ways else None
+
+    # The node table is consumed by up to three branches (its own
+    # encode + both joins); parse it once. Same for ways when the
+    # relation branch needs them. Materialized element tables also make
+    # the auto-mode row count a metadata lookup instead of a re-parse.
+    if cfg.materialize_elements and need_ways:
+        nodes_ds = nodes_ds.materialize()
+        if cfg.ingest_relation and ways_ds is not None:
+            ways_ds = ways_ds.materialize()
+
+    mode = cfg.join_mode
+    if mode == "auto":
+        mode = (
+            "broadcast"
+            if need_ways and joins._estimate_small(nodes_ds, cfg.broadcast_limit)
+            else ("broadcast" if not need_ways else "shuffle")
+        )
+
+    # broadcast indexes are built ONCE and shared by both joins
+    node_idx_ref = way_idx_ref = None
+    if mode == "broadcast" and need_ways:
+        node_idx_ref = joins.build_node_index(nodes_ds)
+        if cfg.ingest_relation:
+            way_idx_ref = joins.build_way_refs_index(ways_ds)
 
     if cfg.ingest_node:
         branches.append(
@@ -45,9 +70,10 @@ def ingest_features(documents_ds, config: EngineConfig | None = None):
         resolved = joins.resolve_ways(
             prepared,
             nodes_ds,
-            mode=cfg.join_mode,
+            mode=mode,
             num_partitions=cfg.num_partitions,
             broadcast_limit=cfg.broadcast_limit,
+            node_idx_ref=node_idx_ref,
         )
         branches.append(
             resolved.map_batches(
@@ -67,9 +93,11 @@ def ingest_features(documents_ds, config: EngineConfig | None = None):
             prepared_r,
             ways_ds,
             nodes_ds,
-            mode=cfg.join_mode,
+            mode=mode,
             num_partitions=cfg.num_partitions,
             broadcast_limit=cfg.broadcast_limit,
+            node_idx_ref=node_idx_ref,
+            way_idx_ref=way_idx_ref,
         )
         branches.append(
             resolved_r.map_batches(

@@ -116,9 +116,10 @@ def explode_spans(batch: pa.Table) -> pa.Table:
     doc_ids = batch.column("doc_id")
     if isinstance(doc_ids, pa.ChunkedArray):
         doc_ids = doc_ids.combine_chunks()
-    offsets = spans.offsets.to_numpy(zero_copy_only=False)
+    raw = spans.offsets.to_numpy(zero_copy_only=False)
     import numpy as np
 
+    offsets = raw - raw[0]  # re-base: sliced arrays keep parent offsets
     counts = np.diff(offsets)
     parent_idx = np.repeat(np.arange(len(batch)), counts)
     span_idx = np.arange(offsets[-1], dtype=np.int32) - np.repeat(

@@ -181,12 +181,22 @@ def classify_batch(tags_column) -> tuple[np.ndarray, list[bytes]]:
     module-level static (stateless ``map_batches`` tasks are fine —
     SURVEY.md §2.6 ST1).
     """
-    pylist = tags_column.to_pylist()
-    n = len(pylist)
-    ftypes = np.empty(n, dtype=np.uint64)
-    labels: list[bytes] = [b""] * n
-    for i, tag_list in enumerate(pylist):
-        pairs = [(t["key"], t["value"]) for t in tag_list] if tag_list else []
-        ftypes[i] = classify_one(pairs)
-        labels[i] = pack_labels(pairs)
+    import pyarrow as pa
+
+    col = tags_column
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    off = col.offsets.to_numpy(zero_copy_only=False)
+    counts = np.diff(off - off[0])
+    other = np.uint64(place_other())
+    ftypes = np.full(n, other, dtype=np.uint64)
+    labels: list[bytes] = [b"\x00"] * n
+    nz = np.flatnonzero(counts)  # untagged rows (the vast majority) skip Python
+    if len(nz):
+        sub = col.take(pa.array(nz, pa.int64())).to_pylist()
+        for j, tag_list in zip(nz, sub):
+            pairs = [(t["key"], t["value"]) for t in tag_list]
+            ftypes[j] = classify_one(pairs)
+            labels[j] = pack_labels(pairs)
     return ftypes, labels
