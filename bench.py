@@ -45,13 +45,14 @@ def _sf_of(sf_dir: str) -> float:
 
 
 def corpus_path(sf: float) -> str:
-    """Deterministic synthetic corpus parquet, cached per scale."""
+    """Deterministic synthetic corpus, cached per scale — a directory
+    of part files so the read plans one task per file."""
     n = max(2_000, int(BENCH_ELEMENTS_PER_SF * sf))
-    path = f"/tmp/ingest_ray_bench/corpus_n{n}.parquet"
-    if not os.path.exists(path):
+    path = f"/tmp/ingest_ray_bench/corpus_n{n}"
+    if not os.path.isdir(path):
         from ingest_ray.synth import write_corpus
 
-        write_corpus(path, n)
+        write_corpus(path, n, num_files=64)
     return path
 
 
@@ -102,6 +103,13 @@ def run_worker(num_cpus: int, sf_dir: str) -> None:
     corpus_path(_sf_of(sf_dir))  # synthesize outside the timed region
     ray.init(address="local", num_cpus=num_cpus, include_dashboard=False)
     try:
+        # warm the worker pool so the timed run measures steady-state
+        # throughput, not process spawn latency
+        import ray.data as rd
+
+        rd.range(num_cpus * 4, override_num_blocks=num_cpus * 4).map_batches(
+            lambda b: b, batch_format="pyarrow"
+        ).materialize()
         res = flagship(sf_dir, out_dir)
     finally:
         ray.shutdown()

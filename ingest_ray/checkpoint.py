@@ -30,7 +30,13 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-from .tiles import LEAF_CAPACITY, assign_grid_cell, divide_cell_group, global_bounds
+from .tiles import (
+    LEAF_CAPACITY,
+    assign_grid_cell,
+    coalesce_blocks,
+    divide_cell_group,
+    global_bounds,
+)
 
 MANIFEST_VERSION = 1
 
@@ -143,6 +149,7 @@ def optimize_to_tiles(
         # materialize the (small, about-to-shuffle) features first
         features_ds = features_ds.materialize()
         bounds = global_bounds(features_ds)
+    features_ds = coalesce_blocks(features_ds)
     os.makedirs(out_path, exist_ok=True)
     with open(os.path.join(out_path, "bounds.json"), "w") as f:
         json.dump({"bounds": list(bounds), "grid_divs": list(grid_divs)}, f)

@@ -13,10 +13,17 @@ class EngineConfig:
     # join layer
     join_mode: str = "auto"  # auto | broadcast | shuffle
     num_partitions: int = 32  # hash-join / regroup partition count
-    broadcast_limit: int = 2_000_000  # max build-side rows for broadcast joins
+    # max build-side rows for broadcast joins: the index is 3 numpy
+    # arrays (~24B/row) shared zero-copy via the plasma store (one copy
+    # per NODE, not per worker) — 20M rows ≈ 480MB/node. Beyond this,
+    # the distributed hash join ("shuffle") takes over.
+    broadcast_limit: int = 20_000_000
     # parse each element table once (nodes/ways feed multiple branches);
     # the materialized tables are far smaller than the document corpus
     materialize_elements: bool = True
+    # execute node/way/relation branches one at a time (see pipeline.py);
+    # set False to keep one fully-streaming union DAG
+    eager_branches: bool = True
 
     # batching (reference: CH_TAKE_LEN 10k / BATCH_SEND 10k / BATCH 100k)
     parse_batch_size: int = 4096  # documents per parse batch

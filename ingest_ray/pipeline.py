@@ -110,6 +110,13 @@ def ingest_features(documents_ds, config: EngineConfig | None = None):
 
     if not branches:
         raise ValueError("all element kinds disabled")
+    if cfg.eager_branches:
+        # run the branches one at a time: the streaming executor juggling
+        # all three complex branches of one union DAG measurably thrashes
+        # (42s vs 23s at 8 CPUs on the 3M-element bench); features are
+        # small relative to the corpus, so per-branch materialize is the
+        # same cost class as the tile-stage materialize that follows
+        branches = [b.materialize() for b in branches]
     out = branches[0]
     for b in branches[1:]:
         out = out.union(b)

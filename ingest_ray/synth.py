@@ -176,11 +176,33 @@ def synth_documents(n: int, seed: int = 42, hotspot_frac: float = 0.2, spans_per
     return _wrap_documents(geo, spans_per_doc=spans_per_doc)
 
 
-def write_corpus(path: str, n: int, seed: int = 42, hotspot_frac: float = 0.2, row_group_size: int = 8192) -> str:
-    """Write a synthetic corpus parquet (idempotent on same args)."""
+def write_corpus(
+    path: str,
+    n: int,
+    seed: int = 42,
+    hotspot_frac: float = 0.2,
+    row_group_size: int = 8192,
+    num_files: int = 1,
+) -> str:
+    """Write a synthetic corpus parquet (idempotent on same args).
+
+    ``num_files > 1`` writes a directory of part files — one read task
+    per file in Ray Data, so the read parallelizes (a single parquet
+    file is ONE fragment = a serial read, which caps the whole
+    pipeline's scaling)."""
     import os
 
-    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     tbl = synth_documents(n, seed, hotspot_frac)
-    pq.write_table(tbl, path, row_group_size=row_group_size)
+    if num_files <= 1:
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        pq.write_table(tbl, path, row_group_size=row_group_size)
+        return path
+    os.makedirs(path, exist_ok=True)
+    rows = len(tbl)
+    per = -(-rows // num_files)
+    for i in range(num_files):
+        part = tbl.slice(i * per, per)
+        if len(part) == 0:
+            break
+        pq.write_table(part, os.path.join(path, f"part-{i:05d}.parquet"), row_group_size=row_group_size)
     return path
