@@ -21,13 +21,17 @@ class EngineConfig:
     # parse each element table once (nodes/ways feed multiple branches);
     # the materialized tables are far smaller than the document corpus
     materialize_elements: bool = True
-    # execute node/way/relation branches one at a time (see pipeline.py);
-    # set False to keep one fully-streaming union DAG
+    # execute node/way/relation branches one at a time; with the
+    # single-pass element parse the streaming union DAG no longer
+    # thrashes, so the default is one streaming DAG (fewer barriers)
     eager_branches: bool = True
 
     # batching (reference: CH_TAKE_LEN 10k / BATCH_SEND 10k / BATCH 100k)
     parse_batch_size: int = 4096  # documents per parse batch
-    encode_batch_size: int = 8192  # joined rows per encode batch
+    encode_batch_size: int = 8192  # joined way rows per encode batch
+    # relations are ~2.5ms each to encode (ring stitching); a small
+    # batch keeps task granularity fine enough to use every core
+    relation_encode_batch_size: int = 1024
 
     # element-kind toggles (IngestOptions.ingest_node/way/relation)
     ingest_node: bool = True

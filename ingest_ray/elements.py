@@ -200,3 +200,82 @@ def elements_dataset(documents, kind: str):
         return out
 
     return documents.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# --------------------------------------------------------------------------
+# single-pass union parse (one corpus read instead of three)
+# --------------------------------------------------------------------------
+
+_KIND_CODE = {"node": 0, "way": 1, "relation": 2}
+
+ELEMENTS_ALL_SCHEMA = pa.schema(
+    [
+        pa.field("id", pa.int64()),
+        pa.field("ekind", pa.uint8()),  # 0 node / 1 way / 2 relation
+        pa.field("lon", pa.float64()),
+        pa.field("lat", pa.float64()),
+        pa.field("refs", pa.list_(pa.int64())),
+        pa.field("members", MEMBERS_TYPE),
+        pa.field("tags", TAGS_TYPE),
+        pa.field("doc_id", pa.string()),
+        pa.field("span_idx", pa.int32()),
+    ]
+)
+
+
+def parse_all_batch(batch: pa.Table) -> pa.Table:
+    """One documents batch → union element table (all three kinds, one
+    explode + parse pass; absent columns are null per kind)."""
+    parts = []
+    for kind in ("node", "way", "relation"):
+        t = parse_kind_batch(batch, kind)
+        n = len(t)
+        if n == 0:
+            continue
+        nulls = {
+            "lon": pa.nulls(n, pa.float64()),
+            "lat": pa.nulls(n, pa.float64()),
+            "refs": pa.nulls(n, pa.list_(pa.int64())),
+            "members": pa.nulls(n, MEMBERS_TYPE),
+        }
+        cols = {
+            "id": t.column("id"),
+            "ekind": pa.array(np.full(n, _KIND_CODE[kind], dtype=np.uint8), pa.uint8()),
+            "lon": t.column("lon") if kind == "node" else nulls["lon"],
+            "lat": t.column("lat") if kind == "node" else nulls["lat"],
+            "refs": t.column("refs") if kind == "way" else nulls["refs"],
+            "members": t.column("members") if kind == "relation" else nulls["members"],
+            "tags": t.column("tags"),
+            "doc_id": t.column("doc_id"),
+            "span_idx": t.column("span_idx"),
+        }
+        parts.append(pa.table(cols).cast(ELEMENTS_ALL_SCHEMA))
+    if not parts:
+        return ELEMENTS_ALL_SCHEMA.empty_table()
+    return pa.concat_tables(parts)
+
+
+def elements_all_dataset(documents):
+    """documents Dataset → lazy union element Dataset (parse ONCE)."""
+    return documents.map_batches(parse_all_batch, batch_format="pyarrow", zero_copy_batch=True)
+
+
+_KIND_VIEW_COLS = {
+    "node": ("id", "lon", "lat", "tags", "doc_id", "span_idx"),
+    "way": ("id", "refs", "tags", "doc_id", "span_idx"),
+    "relation": ("id", "members", "tags", "doc_id", "span_idx"),
+}
+
+
+def kind_view(elements_all, kind: str):
+    """Cheap filtered projection of the (materialized) union table."""
+    code = _KIND_CODE[kind]
+    cols = _KIND_VIEW_COLS[kind]
+    schema = {"node": NODES_SCHEMA, "way": WAYS_SCHEMA, "relation": RELATIONS_SCHEMA}[kind]
+
+    def fn(batch: pa.Table) -> pa.Table:
+        m = pc.equal(batch.column("ekind"), code)
+        sub = batch.filter(m)
+        return pa.table({c: sub.column(c) for c in cols}).cast(schema)
+
+    return elements_all.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)

@@ -226,6 +226,51 @@ def encode_ways_batch(batch: pa.Table) -> pa.Table:
 
 
 # --------------------------------------------------------------------------
+# fused all-kinds encoder (broadcast mode)
+# --------------------------------------------------------------------------
+
+
+def encode_all_batch(batch: pa.Table, node_idx_ref, way_idx_ref) -> pa.Table:
+    """One union-elements batch → features for every kind, in place.
+
+    The broadcast-mode pipeline collapses to elements →
+    ``map_batches(encode_all)`` — one operator, zero shuffles: node
+    encode + in-batch way/relation resolution (joins.resolve_*_batch)
+    + encode, concatenated. Each extra Dataset execution costs ~1-2s
+    of fixed overhead, which dominated small-cluster wall time when
+    the three kinds ran as separate branch executions.
+    """
+    import pyarrow.compute as pc
+    import ray
+
+    from . import joins
+    from .elements import kind_view  # noqa: F401  (schema origin documented there)
+
+    parts = []
+    ek = batch.column("ekind")
+    nodes = batch.filter(pc.equal(ek, 0))
+    if len(nodes):
+        parts.append(encode_nodes_batch(nodes))
+    ways = batch.filter(pc.equal(ek, 1))
+    if len(ways):
+        prepared = prepare_ways_batch(ways)
+        if len(prepared):
+            resolved = joins.resolve_ways_batch(prepared, ray.get(node_idx_ref))
+            parts.append(encode_ways_batch(resolved))
+    rels = batch.filter(pc.equal(ek, 2))
+    if len(rels):
+        prepared_r = prepare_relations_batch(rels)
+        if len(prepared_r):
+            resolved_r = joins.resolve_relations_batch(
+                prepared_r, ray.get(way_idx_ref), ray.get(node_idx_ref)
+            )
+            parts.append(encode_relations_batch(resolved_r))
+    if not parts:
+        return FEATURES_SCHEMA.empty_table()
+    return pa.concat_tables(parts)
+
+
+# --------------------------------------------------------------------------
 # relations
 # --------------------------------------------------------------------------
 

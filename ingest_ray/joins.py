@@ -109,6 +109,104 @@ def build_node_index(nodes_ds) -> "ray.ObjectRef":
     )
 
 
+_SHARD_CACHE: dict = {}  # per-worker-process shard cache (ref hex → arrays)
+
+
+@ray.remote(num_cpus=0.25)
+def _block_id_range(tbl: pa.Table) -> tuple[int, int]:
+    if len(tbl) == 0:
+        return (2**63 - 1, -(2**63))
+    ids = tbl.column("id").to_numpy(zero_copy_only=False)
+    return (int(ids.min()), int(ids.max()))
+
+
+class ShardedNodeIndex:
+    """Zone-map ``id → (lon, lat)`` index over materialized blocks.
+
+    The reference's ScanTable (/root/reference/src/par_scan.rs:60-85:
+    per-blob id interval → blob offset) mapped to Ray: the index holds
+    only the node blocks' object refs + each block's (min, max) id —
+    NO sort, no driver collect; OSM ids ascend within a corpus so
+    block ranges barely overlap. Workers ``ray.get`` the blocks a
+    batch touches (plasma zero-copy; one physical copy per machine),
+    argsort each block once on first touch, and cache per process.
+    Build cost = one tiny min/max task per block, fully parallel.
+    """
+
+    def __init__(self, block_refs: list, mins: np.ndarray, maxs: np.ndarray):
+        order = np.argsort(mins, kind="stable")
+        self.block_refs = [block_refs[i] for i in order]
+        self.mins = mins[order]
+        self.maxs = maxs[order]
+
+    def _shard(self, b: int):
+        ref = self.block_refs[b]
+        key = ref.hex()
+        got = _SHARD_CACHE.get(key)
+        if got is None:
+            tbl = ray.get(ref)
+            ids = np.asarray(tbl.column("id").to_numpy(zero_copy_only=False), dtype=np.int64)
+            lon = tbl.column("lon").to_numpy(zero_copy_only=False)
+            lat = tbl.column("lat").to_numpy(zero_copy_only=False)
+            # OSM ids ascend within a corpus, so blocks are almost
+            # always pre-sorted: keep zero-copy plasma views. A sorted
+            # COPY per worker would cost (index size × num workers) in
+            # memory and CPU — measured as the anti-scaling term of the
+            # whole encode stage.
+            if len(ids) > 1 and not bool(np.all(ids[1:] >= ids[:-1])):
+                srt = np.argsort(ids, kind="stable")
+                ids, lon, lat = ids[srt], lon[srt], lat[srt]
+            got = (ids, lon, lat)
+            _SHARD_CACHE[key] = got
+        return got
+
+    def lookup(self, keys: np.ndarray) -> tuple[np.ndarray, list[np.ndarray]]:
+        n = len(keys)
+        found = np.zeros(n, dtype=bool)
+        lon = np.full(n, np.nan, dtype=np.float64)
+        lat = np.full(n, np.nan, dtype=np.float64)
+        if not self.block_refs or n == 0:
+            return found, [lon, lat]
+        for b in range(len(self.block_refs)):
+            cand = (~found) & (keys >= self.mins[b]) & (keys <= self.maxs[b])
+            if not cand.any():
+                continue
+            sel = np.flatnonzero(cand)
+            ids, slon, slat = self._shard(b)
+            k = keys[sel]
+            idx = np.searchsorted(ids, k)
+            idx_c = np.clip(idx, 0, len(ids) - 1)
+            hit = (idx < len(ids)) & (ids[idx_c] == k)
+            hs = sel[hit]
+            lon[hs] = slon[idx_c[hit]]
+            lat[hs] = slat[idx_c[hit]]
+            found[hs] = True
+        return found, [lon, lat]
+
+
+def build_node_index_sharded(nodes_ds) -> "ray.ObjectRef":
+    """Zone-map build: keep materialized blocks in the object store;
+    fetch only each block's (min, max) id to the driver."""
+    refs = nodes_ds.select_columns(["id", "lon", "lat"]).to_arrow_refs()
+    ranges = ray.get([_block_id_range.remote(r) for r in refs])
+    mins = np.array([r[0] for r in ranges], dtype=np.int64)
+    maxs = np.array([r[1] for r in ranges], dtype=np.int64)
+    keep = mins <= maxs
+    refs = [refs[i] for i in np.flatnonzero(keep)]
+    return ray.put(ShardedNodeIndex(refs, mins[keep], maxs[keep]))
+
+
+SHARDED_INDEX_THRESHOLD = 4_000_000  # driver collect below, distributed above
+
+
+def build_node_index_auto(nodes_ds) -> "ray.ObjectRef":
+    try:
+        big = nodes_ds.count() > SHARDED_INDEX_THRESHOLD
+    except Exception:
+        big = False
+    return build_node_index_sharded(nodes_ds) if big else build_node_index(nodes_ds)
+
+
 class WayRefsIndex:
     """Sorted-array ``way_id → refs-span`` lookup (broadcast side of
     the relation two-hop join — the analog of the reference's bare-way
@@ -121,14 +219,111 @@ class WayRefsIndex:
         self.counts = np.diff(offsets)[order]
         self.flat = flat
 
-    def lookup(self, keys: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    def lookup_refs(self, keys: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """→ (found, counts, gathered_refs): each found key's refs,
+        concatenated in key order."""
+        n = len(keys)
         if len(self.ids) == 0:
-            z = np.zeros(len(keys), dtype=np.int64)
-            return np.zeros(len(keys), dtype=bool), z, z
+            z = np.zeros(n, dtype=np.int64)
+            return np.zeros(n, dtype=bool), z, np.empty(0, dtype=np.int64)
         idx = np.searchsorted(self.ids, keys)
         idx_c = np.clip(idx, 0, len(self.ids) - 1)
         found = (idx < len(self.ids)) & (self.ids[idx_c] == keys)
-        return found, self.starts[idx_c], self.counts[idx_c]
+        counts = np.where(found, self.counts[idx_c], 0).astype(np.int64)
+        total = int(counts.sum())
+        first_of = np.cumsum(counts) - counts
+        within = np.arange(total, dtype=np.int64) - np.repeat(first_of, counts)
+        src = np.repeat(np.where(found, self.starts[idx_c], 0), counts) + within
+        return found, counts, self.flat[src]
+
+
+class ShardedWayRefsIndex:
+    """Zone-map ``way_id → refs`` index over materialized way blocks —
+    same ScanTable pattern as :class:`ShardedNodeIndex`, list payload.
+    Workers cache (ids, starts, counts, flat) per block zero-copy."""
+
+    def __init__(self, block_refs: list, mins: np.ndarray, maxs: np.ndarray):
+        order = np.argsort(mins, kind="stable")
+        self.block_refs = [block_refs[i] for i in order]
+        self.mins = mins[order]
+        self.maxs = maxs[order]
+
+    def _shard(self, b: int):
+        ref = self.block_refs[b]
+        key = "w" + ref.hex()
+        got = _SHARD_CACHE.get(key)
+        if got is None:
+            tbl = ray.get(ref)
+            ids = np.asarray(tbl.column("id").to_numpy(zero_copy_only=False), dtype=np.int64)
+            off, flat_arr = _list_offsets(tbl.column("refs"))
+            flat = np.asarray(flat_arr.to_numpy(zero_copy_only=False), dtype=np.int64)
+            starts = off[:-1].astype(np.int64)
+            counts = np.diff(off).astype(np.int64)
+            if len(ids) > 1 and not bool(np.all(ids[1:] >= ids[:-1])):
+                srt = np.argsort(ids, kind="stable")
+                ids, starts, counts = ids[srt], starts[srt], counts[srt]
+            got = (ids, starts, counts, flat)
+            _SHARD_CACHE[key] = got
+        return got
+
+    def lookup_refs(self, keys: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        n = len(keys)
+        found = np.zeros(n, dtype=bool)
+        counts = np.zeros(n, dtype=np.int64)
+        loc_block = np.zeros(n, dtype=np.int64)
+        loc_start = np.zeros(n, dtype=np.int64)
+        if not self.block_refs or n == 0:
+            return found, counts, np.empty(0, dtype=np.int64)
+        for b in range(len(self.block_refs)):
+            cand = (~found) & (keys >= self.mins[b]) & (keys <= self.maxs[b])
+            if not cand.any():
+                continue
+            sel = np.flatnonzero(cand)
+            ids, starts, cnts, _flat = self._shard(b)
+            k = keys[sel]
+            idx = np.searchsorted(ids, k)
+            idx_c = np.clip(idx, 0, len(ids) - 1)
+            hit = (idx < len(ids)) & (ids[idx_c] == k)
+            hs = sel[hit]
+            found[hs] = True
+            counts[hs] = cnts[idx_c[hit]]
+            loc_block[hs] = b
+            loc_start[hs] = starts[idx_c[hit]]
+        total = int(counts.sum())
+        out = np.empty(total, dtype=np.int64)
+        first_of = np.cumsum(counts) - counts
+        for b in np.unique(loc_block[found]):
+            selk = np.flatnonzero(found & (loc_block == b))
+            c = counts[selk]
+            tot_b = int(c.sum())
+            if tot_b == 0:
+                continue
+            fo = np.cumsum(c) - c
+            within = np.arange(tot_b, dtype=np.int64) - np.repeat(fo, c)
+            src = np.repeat(loc_start[selk], c) + within
+            dst = np.repeat(first_of[selk], c) + within
+            flat = self._shard(int(b))[3]
+            out[dst] = flat[src]
+        return found, counts, out
+
+
+def build_way_refs_index_sharded(ways_ds) -> "ray.ObjectRef":
+    """Zone-map build over (id, refs) blocks — no driver collect."""
+    refs = ways_ds.select_columns(["id", "refs"]).to_arrow_refs()
+    ranges = ray.get([_block_id_range.remote(r) for r in refs])
+    mins = np.array([r[0] for r in ranges], dtype=np.int64)
+    maxs = np.array([r[1] for r in ranges], dtype=np.int64)
+    keep = mins <= maxs
+    refs = [refs[i] for i in np.flatnonzero(keep)]
+    return ray.put(ShardedWayRefsIndex(refs, mins[keep], maxs[keep]))
+
+
+def build_way_refs_index_auto(ways_ds) -> "ray.ObjectRef":
+    try:
+        big = ways_ds.count() > SHARDED_INDEX_THRESHOLD
+    except Exception:
+        big = False
+    return build_way_refs_index_sharded(ways_ds) if big else build_way_refs_index(ways_ds)
 
 
 def build_way_refs_index(ways_ds) -> "ray.ObjectRef":
@@ -301,6 +496,34 @@ def explode_ways_with_meta(batch: pa.Table) -> pa.Table:
     )
 
 
+def resolve_ways_batch(batch: pa.Table, idx) -> pa.Table:
+    """In-batch way resolution against a node index (Broadcast or
+    Sharded — same ``lookup`` contract): flatten the refs list, one
+    vectorized lookup, rebuild the lists with the SAME offsets."""
+    refs = batch.column("refs")
+    if isinstance(refs, pa.ChunkedArray):
+        refs = refs.combine_chunks()
+    off_np, flat_arr = _list_offsets(refs)
+    flat = np.asarray(flat_arr.to_numpy(zero_copy_only=False), dtype=np.int64)
+    found, (lon, lat) = idx.lookup(flat)
+    lon = np.where(found, lon, np.nan)
+    lat = np.where(found, lat, np.nan)
+    off_arr = pa.array(off_np, pa.int32())
+    return pa.table(
+        {
+            "way_id": batch.column("id"),
+            "node_id_list": refs,
+            "lon_list": pa.ListArray.from_arrays(off_arr, pa.array(lon, pa.float64())),
+            "lat_list": pa.ListArray.from_arrays(off_arr, pa.array(lat, pa.float64())),
+            "is_area": batch.column("is_area"),
+            "ftype": batch.column("ftype"),
+            "labels": batch.column("labels"),
+            "doc_id": batch.column("doc_id"),
+            "span_idx": batch.column("span_idx"),
+        }
+    )
+
+
 def _resolve_ways_broadcast(prepared_ways, node_idx_ref):
     """Zero-shuffle way resolution: refs of a way are contiguous inside
     every prepared batch, so coord lookup happens in place — flatten the
@@ -309,29 +532,7 @@ def _resolve_ways_broadcast(prepared_ways, node_idx_ref):
     regroup dominated small-cluster wall time)."""
 
     def fn(batch: pa.Table) -> pa.Table:
-        idx: BroadcastIndex = ray.get(node_idx_ref)
-        refs = batch.column("refs")
-        if isinstance(refs, pa.ChunkedArray):
-            refs = refs.combine_chunks()
-        off_np, flat_arr = _list_offsets(refs)
-        flat = np.asarray(flat_arr.to_numpy(zero_copy_only=False), dtype=np.int64)
-        found, (lon, lat) = idx.lookup(flat)
-        lon = np.where(found, lon, np.nan)
-        lat = np.where(found, lat, np.nan)
-        off_arr = pa.array(off_np, pa.int32())
-        return pa.table(
-            {
-                "way_id": batch.column("id"),
-                "node_id_list": refs,
-                "lon_list": pa.ListArray.from_arrays(off_arr, pa.array(lon, pa.float64())),
-                "lat_list": pa.ListArray.from_arrays(off_arr, pa.array(lat, pa.float64())),
-                "is_area": batch.column("is_area"),
-                "ftype": batch.column("ftype"),
-                "labels": batch.column("labels"),
-                "doc_id": batch.column("doc_id"),
-                "span_idx": batch.column("span_idx"),
-            }
-        )
+        return resolve_ways_batch(batch, ray.get(node_idx_ref))
 
     return prepared_ways.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
 
@@ -443,68 +644,72 @@ def _resolve_relations_broadcast(prepared_relations, way_idx_ref, node_idx_ref):
     indexes, and per-relation lists rebuild from computed offsets —
     already in (member pos, ref pos) order, so no sort either."""
 
-    MISSING = np.int64(-(2**62))
-
     def fn(batch: pa.Table) -> pa.Table:
-        widx: WayRefsIndex = ray.get(way_idx_ref)
-        nidx: BroadcastIndex = ray.get(node_idx_ref)
-        if len(batch) == 0:
-            return _REL_RESOLVED_SCHEMA.empty_table()
-        members = batch.column("members")
-        if isinstance(members, pa.ChunkedArray):
-            members = members.combine_chunks()
-        m_off_raw, m_flat = _list_offsets(members)
-        m_off = m_off_raw.astype(np.int64)
-        m_way = np.asarray(m_flat.field("ref").to_numpy(zero_copy_only=False), dtype=np.int64)
-        roles = np.asarray(m_flat.field("role").to_numpy(zero_copy_only=False))
-        m_inner = roles == "inner"
-        m_counts = np.diff(m_off)
-        m_parent = np.repeat(np.arange(len(batch)), m_counts)
-        m_pos = np.arange(m_off[-1], dtype=np.int64) - np.repeat(m_off[:-1], m_counts)
-
-        found_w, starts, counts = widx.lookup(m_way)
-        counts_eff = np.where(found_w, counts, 1).astype(np.int64)  # missing way → 1 null row
-        total = int(counts_eff.sum())
-        first_of = np.repeat(np.cumsum(counts_eff) - counts_eff, counts_eff)
-        within = np.arange(total, dtype=np.int64) - first_of
-        src = np.repeat(starts, counts_eff) + within
-        found_w_r = np.repeat(found_w, counts_eff)
-        node_id = np.where(
-            found_w_r, widx.flat[np.clip(src, 0, max(len(widx.flat) - 1, 0))], MISSING
-        )
-        rel_row = np.repeat(m_parent, counts_eff)
-        okey = (np.repeat(m_pos, counts_eff) << np.int64(32)) | within
-        way_id_r = np.repeat(m_way, counts_eff)
-        inner_r = np.repeat(m_inner, counts_eff)
-
-        found_n, (lon, lat) = nidx.lookup(node_id)
-        ok_n = found_n & (node_id != MISSING)
-        lon = np.where(ok_n, lon, np.nan)
-        lat = np.where(ok_n, lat, np.nan)
-
-        rel_counts = np.bincount(rel_row, minlength=len(batch)).astype(np.int64)
-        offs = np.concatenate([[0], np.cumsum(rel_counts)])
-        off_arr = pa.array(offs, pa.int32())
-        null_mask = node_id == MISSING
-        return pa.table(
-            {
-                "rel_id": batch.column("id"),
-                "okey_list": pa.ListArray.from_arrays(off_arr, pa.array(okey, pa.int64())),
-                "way_id_list": pa.ListArray.from_arrays(off_arr, pa.array(way_id_r, pa.int64())),
-                "node_id_list": pa.ListArray.from_arrays(
-                    off_arr, pa.array(node_id, pa.int64(), mask=null_mask)
-                ),
-                "lon_list": pa.ListArray.from_arrays(off_arr, pa.array(lon, pa.float64())),
-                "lat_list": pa.ListArray.from_arrays(off_arr, pa.array(lat, pa.float64())),
-                "inner_list": pa.ListArray.from_arrays(off_arr, pa.array(inner_r, pa.bool_())),
-                "ftype": batch.column("ftype"),
-                "labels": batch.column("labels"),
-                "doc_id": batch.column("doc_id"),
-                "span_idx": batch.column("span_idx"),
-            }
-        )
+        return resolve_relations_batch(batch, ray.get(way_idx_ref), ray.get(node_idx_ref))
 
     return prepared_relations.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+_REL_MISSING = np.int64(-(2**62))
+
+
+def resolve_relations_batch(batch: pa.Table, widx, nidx) -> pa.Table:
+    """In-batch two-hop relation resolution (see
+    ``_resolve_relations_broadcast``)."""
+    MISSING = _REL_MISSING
+    if len(batch) == 0:
+        return _REL_RESOLVED_SCHEMA.empty_table()
+    members = batch.column("members")
+    if isinstance(members, pa.ChunkedArray):
+        members = members.combine_chunks()
+    m_off_raw, m_flat = _list_offsets(members)
+    m_off = m_off_raw.astype(np.int64)
+    m_way = np.asarray(m_flat.field("ref").to_numpy(zero_copy_only=False), dtype=np.int64)
+    roles = np.asarray(m_flat.field("role").to_numpy(zero_copy_only=False))
+    m_inner = roles == "inner"
+    m_counts = np.diff(m_off)
+    m_parent = np.repeat(np.arange(len(batch)), m_counts)
+    m_pos = np.arange(m_off[-1], dtype=np.int64) - np.repeat(m_off[:-1], m_counts)
+
+    found_w, counts, gathered = widx.lookup_refs(m_way)
+    counts_eff = np.where(found_w, counts, 1).astype(np.int64)  # missing way → 1 null row
+    total = int(counts_eff.sum())
+    first_of = np.repeat(np.cumsum(counts_eff) - counts_eff, counts_eff)
+    within = np.arange(total, dtype=np.int64) - first_of
+    found_w_r = np.repeat(found_w, counts_eff)
+    node_id = np.full(total, MISSING, dtype=np.int64)
+    node_id[found_w_r] = gathered
+    rel_row = np.repeat(m_parent, counts_eff)
+    okey = (np.repeat(m_pos, counts_eff) << np.int64(32)) | within
+    way_id_r = np.repeat(m_way, counts_eff)
+    inner_r = np.repeat(m_inner, counts_eff)
+
+    found_n, (lon, lat) = nidx.lookup(node_id)
+    ok_n = found_n & (node_id != MISSING)
+    lon = np.where(ok_n, lon, np.nan)
+    lat = np.where(ok_n, lat, np.nan)
+
+    rel_counts = np.bincount(rel_row, minlength=len(batch)).astype(np.int64)
+    offs = np.concatenate([[0], np.cumsum(rel_counts)])
+    off_arr = pa.array(offs, pa.int32())
+    null_mask = node_id == MISSING
+    return pa.table(
+        {
+            "rel_id": batch.column("id"),
+            "okey_list": pa.ListArray.from_arrays(off_arr, pa.array(okey, pa.int64())),
+            "way_id_list": pa.ListArray.from_arrays(off_arr, pa.array(way_id_r, pa.int64())),
+            "node_id_list": pa.ListArray.from_arrays(
+                off_arr, pa.array(node_id, pa.int64(), mask=null_mask)
+            ),
+            "lon_list": pa.ListArray.from_arrays(off_arr, pa.array(lon, pa.float64())),
+            "lat_list": pa.ListArray.from_arrays(off_arr, pa.array(lat, pa.float64())),
+            "inner_list": pa.ListArray.from_arrays(off_arr, pa.array(inner_r, pa.bool_())),
+            "ftype": batch.column("ftype"),
+            "labels": batch.column("labels"),
+            "doc_id": batch.column("doc_id"),
+            "span_idx": batch.column("span_idx"),
+        }
+    )
 
 
 _REL_RESOLVED_SCHEMA = pa.schema(

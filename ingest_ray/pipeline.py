@@ -31,32 +31,107 @@ def ingest_features(documents_ds, config: EngineConfig | None = None):
     branches = []
 
     need_ways = cfg.ingest_way or cfg.ingest_relation
-    nodes_ds = elements_dataset(documents_ds, "node")
-    ways_ds = elements_dataset(documents_ds, "way") if need_ways else None
-
-    # The node table is consumed by up to three branches (its own
-    # encode + both joins); parse it once. Same for ways when the
-    # relation branch needs them. Materialized element tables also make
-    # the auto-mode row count a metadata lookup instead of a re-parse.
     if cfg.materialize_elements and need_ways:
-        nodes_ds = nodes_ds.materialize()
-        if cfg.ingest_relation and ways_ds is not None:
-            ways_ds = ways_ds.materialize()
+        # parse ONCE: a single read+explode+parse pass over the corpus
+        # materializes the union element table; per-kind "tables" are
+        # cheap filtered projections of the plasma-resident blocks
+        from .elements import elements_all_dataset, kind_view
+
+        all_el = elements_all_dataset(documents_ds).materialize()
+        nodes_ds = kind_view(all_el, "node")
+        ways_ds = kind_view(all_el, "way")
+        rels_ds = kind_view(all_el, "relation") if cfg.ingest_relation else None
+        total_elements = all_el.count()
+    else:
+        all_el = None
+        nodes_ds = elements_dataset(documents_ds, "node")
+        ways_ds = elements_dataset(documents_ds, "way") if need_ways else None
+        rels_ds = elements_dataset(documents_ds, "relation") if cfg.ingest_relation else None
+        total_elements = None
 
     mode = cfg.join_mode
     if mode == "auto":
-        mode = (
-            "broadcast"
-            if need_ways and joins._estimate_small(nodes_ds, cfg.broadcast_limit)
-            else ("broadcast" if not need_ways else "shuffle")
-        )
+        if not need_ways:
+            mode = "broadcast"
+        elif total_elements is not None and total_elements <= cfg.broadcast_limit:
+            mode = "broadcast"  # nodes ≤ total elements ≤ limit
+        else:
+            mode = (
+                "broadcast"
+                if joins._estimate_small(nodes_ds, cfg.broadcast_limit)
+                else "shuffle"
+            )
 
     # broadcast indexes are built ONCE and shared by both joins
     node_idx_ref = way_idx_ref = None
     if mode == "broadcast" and need_ways:
-        node_idx_ref = joins.build_node_index(nodes_ds)
+        node_idx_ref = joins.build_node_index_auto(nodes_ds)
         if cfg.ingest_relation:
-            way_idx_ref = joins.build_way_refs_index(ways_ds)
+            way_idx_ref = joins.build_way_refs_index_auto(ways_ds)
+
+    if mode == "broadcast" and all_el is not None:
+        # fused fast path: elements → ONE map_batches producing node and
+        # way features (in-batch joins; zero shuffles). Relations run as
+        # their own small branch over a row-repartitioned dataset:
+        # relation rows cluster at the end of real corpora (OSM PBF file
+        # order), so in the mixed table a handful of all-relation blocks
+        # each cost ~25s of ring stitching while every other core idles —
+        # row-uniform repartition of the relation-only table restores
+        # balanced task granularity (task = block in Ray Data).
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        enabled = [
+            code for code, on in ((0, cfg.ingest_node), (1, cfg.ingest_way)) if on
+        ]
+        branches = []
+        if enabled:
+            value_set = pa.array(enabled, pa.uint8())
+
+            def keep_kinds(b):
+                return b.filter(pc.is_in(b.column("ekind"), value_set=value_set))
+
+            branches.append(
+                all_el.map_batches(keep_kinds, batch_format="pyarrow", zero_copy_batch=True)
+                .map_batches(
+                    lambda b: F.encode_all_batch(b, node_idx_ref, way_idx_ref),
+                    batch_format="pyarrow",
+                    zero_copy_batch=True,
+                )
+            )
+        if cfg.ingest_relation:
+            prepared_r = rels_ds.map_batches(
+                F.prepare_relations_batch, batch_format="pyarrow", zero_copy_batch=True
+            ).materialize()
+            n_rel = prepared_r.count()
+            if n_rel:
+                n_blocks = max(
+                    1, min(n_rel, -(-n_rel // cfg.relation_encode_batch_size))
+                )
+                if prepared_r.num_blocks() < n_blocks:
+                    prepared_r = prepared_r.repartition(n_blocks)
+                import ray as _ray
+
+                def encode_rel(b):
+                    return F.encode_relations_batch(
+                        joins.resolve_relations_batch(
+                            b, _ray.get(way_idx_ref), _ray.get(node_idx_ref)
+                        )
+                    )
+
+                branches.append(
+                    prepared_r.map_batches(
+                        encode_rel, batch_format="pyarrow", zero_copy_batch=True
+                    )
+                )
+        if not branches:
+            raise ValueError("all element kinds disabled")
+        if cfg.eager_branches:
+            branches = [b.materialize() for b in branches]
+        out = branches[0]
+        for b in branches[1:]:
+            out = out.union(b)
+        return out
 
     if cfg.ingest_node:
         branches.append(
@@ -85,7 +160,6 @@ def ingest_features(documents_ds, config: EngineConfig | None = None):
         )
 
     if cfg.ingest_relation:
-        rels_ds = elements_dataset(documents_ds, "relation")
         prepared_r = rels_ds.map_batches(
             F.prepare_relations_batch, batch_format="pyarrow", zero_copy_batch=True
         )
@@ -104,7 +178,7 @@ def ingest_features(documents_ds, config: EngineConfig | None = None):
                 F.encode_relations_batch,
                 batch_format="pyarrow",
                 zero_copy_batch=True,
-                batch_size=cfg.encode_batch_size,
+                batch_size=cfg.relation_encode_batch_size,
             )
         )
 
