@@ -59,25 +59,73 @@ def _wrap_documents(geo_spans: list[tuple[str, str]], spans_per_doc: int = 4) ->
     Interleaving rule (FIXTURES.md §1.1): text / media filler spans are
     woven in round-robin, position decided by ``hash(doc_id) % 3`` —
     the pipeline must carry them through untouched.
+
+    Vectorized construction (array scatter instead of 30M span dicts —
+    the dict form GC-thrashed on large corpora); output is byte-equal
+    to the original per-row builder (tested).
     """
-    docs: list[dict] = []
-    for d in range(0, len(geo_spans), spans_per_doc):
-        doc_id = f"doc-{d // spans_per_doc:06d}"
-        chunk = geo_spans[d : d + spans_per_doc]
-        h = int(splitmix64(np.uint64(d // spans_per_doc))) % 3
-        spans: list[dict] = []
-        offset = 0
-        for j, (kind, text) in enumerate(chunk):
-            if j % 3 == h:
-                filler = f"interleaved text #{d + j}"
-                spans.append(_span("text", filler, "", offset))
-                offset += len(filler)
-            if (j + d) % 7 == 6:
-                spans.append(_span("media", "", f"media://{splitmix64(np.uint64(d + j)):016x}", offset))
-            spans.append(_span(kind, text, "", offset))
-            offset += len(text)
-        docs.append({"doc_id": doc_id, "spans": spans})
-    return pa.Table.from_pylist(docs, schema=DOCUMENTS_SCHEMA)
+    n = len(geo_spans)
+    if n == 0:
+        return DOCUMENTS_SCHEMA.empty_table()
+    g = np.arange(n, dtype=np.int64)
+    doc_idx = g // spans_per_doc
+    j = g % spans_per_doc
+    n_docs = int(doc_idx[-1]) + 1
+    h_doc = (splitmix64(doc_idx.astype(np.uint64)) % np.uint64(3)).astype(np.int64)
+    has_filler = (j % 3) == h_doc
+    has_media = (g % 7) == 6
+
+    counts = 1 + has_filler.astype(np.int64) + has_media.astype(np.int64)
+    pos = np.cumsum(counts) - counts  # first output slot of each geo span
+    total = int(counts.sum())
+
+    geo_texts = [t for _k, t in geo_spans]
+    glen = np.fromiter((len(t) for t in geo_texts), dtype=np.int64, count=n)
+    flen = np.where(has_filler, 18 + np.char.str_len(g.astype("U20")), 0)
+    # per-doc running character offset before each geo span
+    adv = flen + glen
+    cum = np.cumsum(adv) - adv
+    doc_start = cum[np.searchsorted(doc_idx, np.arange(n_docs))]
+    pre = cum - doc_start[doc_idx]
+
+    out_kind = np.empty(total, dtype=object)
+    out_text = np.empty(total, dtype=object)
+    out_media = np.empty(total, dtype=object)
+    out_off = np.zeros(total, dtype=np.int64)
+    out_media[:] = ""
+
+    f_pos = pos[has_filler]
+    out_kind[f_pos] = "text"
+    out_text[f_pos] = [f"interleaved text #{int(i)}" for i in g[has_filler]]
+    out_off[f_pos] = pre[has_filler]
+
+    m_pos = (pos + has_filler)[has_media]
+    out_kind[m_pos] = "media"
+    out_text[m_pos] = ""
+    out_media[m_pos] = [
+        f"media://{int(v):016x}" for v in splitmix64(g[has_media].astype(np.uint64))
+    ]
+    out_off[m_pos] = (pre + flen)[has_media]
+
+    g_pos = pos + has_filler + has_media
+    out_kind[g_pos] = [k for k, _t in geo_spans]
+    out_text[g_pos] = geo_texts
+    out_off[g_pos] = pre + flen
+
+    struct = pa.StructArray.from_arrays(
+        [
+            pa.array(out_kind, pa.string()),
+            pa.array(out_text, pa.string()),
+            pa.array(out_media, pa.string()),
+            pa.array(out_off, pa.int32()),
+        ],
+        names=["kind", "text", "media_ref", "offset"],
+    )
+    doc_counts = np.bincount(doc_idx, weights=counts, minlength=n_docs).astype(np.int64)
+    doc_offsets = np.concatenate([[0], np.cumsum(doc_counts)]).astype(np.int32)
+    spans_list = pa.ListArray.from_arrays(pa.array(doc_offsets, pa.int32()), struct)
+    doc_ids = pa.array([f"doc-{i:06d}" for i in range(n_docs)], pa.string())
+    return pa.table({"doc_id": doc_ids, "spans": spans_list}).cast(DOCUMENTS_SCHEMA)
 
 
 def golden_documents() -> pa.Table:
