@@ -62,16 +62,35 @@ def _wrap_documents(geo_spans: list[tuple[str, str]], spans_per_doc: int = 4) ->
 
     Vectorized construction (array scatter instead of 30M span dicts —
     the dict form GC-thrashed on large corpora); output is byte-equal
-    to the original per-row builder (tested).
+    to the original per-row builder (tested). Built in doc-aligned
+    slices: a single pa.array over >2GB of strings chunks, which
+    StructArray.from_arrays rejects.
     """
     n = len(geo_spans)
     if n == 0:
         return DOCUMENTS_SCHEMA.empty_table()
-    g = np.arange(n, dtype=np.int64)
-    doc_idx = g // spans_per_doc
+    SLICE = 4_000_000 // spans_per_doc * spans_per_doc
+    if n > SLICE:
+        parts = [
+            _wrap_chunk(geo_spans[lo : lo + SLICE], lo, spans_per_doc)
+            for lo in range(0, n, SLICE)
+        ]
+        return pa.concat_tables(parts).combine_chunks()
+    return _wrap_chunk(geo_spans, 0, spans_per_doc)
+
+
+def _wrap_chunk(geo_spans: list[tuple[str, str]], g0: int, spans_per_doc: int) -> pa.Table:
+    """One doc-aligned slice of :func:`_wrap_documents` (``g0`` = global
+    index of the slice's first geo span; must be a multiple of
+    ``spans_per_doc``)."""
+    n = len(geo_spans)
+    g = np.arange(g0, g0 + n, dtype=np.int64)
+    doc_idx_g = g // spans_per_doc  # global doc number (hash + id source)
+    doc_lo = g0 // spans_per_doc
+    doc_idx = doc_idx_g - doc_lo  # slice-local doc index
     j = g % spans_per_doc
     n_docs = int(doc_idx[-1]) + 1
-    h_doc = (splitmix64(doc_idx.astype(np.uint64)) % np.uint64(3)).astype(np.int64)
+    h_doc = (splitmix64(doc_idx_g.astype(np.uint64)) % np.uint64(3)).astype(np.int64)
     has_filler = (j % 3) == h_doc
     has_media = (g % 7) == 6
 
@@ -86,7 +105,7 @@ def _wrap_documents(geo_spans: list[tuple[str, str]], spans_per_doc: int = 4) ->
     adv = flen + glen
     cum = np.cumsum(adv) - adv
     doc_start = cum[np.searchsorted(doc_idx, np.arange(n_docs))]
-    pre = cum - doc_start[doc_idx]
+    pre = cum - doc_start[doc_idx]  # doc-local char offset before each geo span
 
     out_kind = np.empty(total, dtype=object)
     out_text = np.empty(total, dtype=object)
@@ -124,7 +143,7 @@ def _wrap_documents(geo_spans: list[tuple[str, str]], spans_per_doc: int = 4) ->
     doc_counts = np.bincount(doc_idx, weights=counts, minlength=n_docs).astype(np.int64)
     doc_offsets = np.concatenate([[0], np.cumsum(doc_counts)]).astype(np.int32)
     spans_list = pa.ListArray.from_arrays(pa.array(doc_offsets, pa.int32()), struct)
-    doc_ids = pa.array([f"doc-{i:06d}" for i in range(n_docs)], pa.string())
+    doc_ids = pa.array([f"doc-{i:06d}" for i in range(doc_lo, doc_lo + n_docs)], pa.string())
     return pa.table({"doc_id": doc_ids, "spans": spans_list}).cast(DOCUMENTS_SCHEMA)
 
 
