@@ -138,7 +138,7 @@ def q_q1_lineitem(sf_dir: str):
 def q_join_customer_orders(sf_dir: str):
     """Two-hop distributed hash join + grouped counts (J3/J7 analog on
     relational data)."""
-    from ray.data.aggregate import Count
+    from ray.data.aggregate import Count, Sum
 
     from ingest_ray.util import effective_num_partitions, tune_shuffle_context
 
@@ -147,12 +147,17 @@ def q_join_customer_orders(sf_dir: str):
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
     cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
     nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"])
-    j = orders.join(cust, join_type="inner", num_partitions=np_eff, on=("o_custkey",), right_on=("c_custkey",))
+    # pre-aggregate the fact side BEFORE the join (combiner pushdown):
+    # per-customer order counts shrink the join input ~10x and make the
+    # final count-distinct a plain Count
+    per_cust = orders.groupby("o_custkey").aggregate(Count(alias_name="cnt"))
+    j = per_cust.join(cust, join_type="inner", num_partitions=np_eff, on=("o_custkey",), right_on=("c_custkey",))
     j = j.join(nation, join_type="inner", num_partitions=np_eff, on=("c_nationkey",), right_on=("n_nationkey",))
-    n_orders = j.groupby("n_name").aggregate(Count(alias_name="n_orders")).to_pandas()
-    uniq = j.groupby(["n_name", "o_custkey"]).aggregate(Count(alias_name="x"))
-    n_cust = uniq.groupby("n_name").aggregate(Count(alias_name="n_customers")).to_pandas()
-    out = n_orders.merge(n_cust, on="n_name")
+    out = (
+        j.groupby("n_name")
+        .aggregate(Sum("cnt", alias_name="n_orders"), Count(alias_name="n_customers"))
+        .to_pandas()
+    )
     out["n_orders"] = out["n_orders"].astype("int64")
     out["n_customers"] = out["n_customers"].astype("int64")
     return out
@@ -361,6 +366,17 @@ def q_tiles_synth(sf_dir: str):
     )
 
 
+def q_tiles_aggregated_synth(sf_dir: str):
+    """Skew-proof aggregated quad divide — must equal q_tiles_synth's
+    assignments exactly (also property-tested)."""
+    from ingest_ray.tiles import assign_tiles_aggregated
+
+    feats = _synth_features(sf_dir)
+    return assign_tiles_aggregated(feats, grid_divs=(8, 8), leaf_capacity=1000).select_columns(
+        ["key", "tile_cell", "tile_path", "tile_depth"]
+    )
+
+
 def q_cells_synth(sf_dir: str):
     from ingest_ray.cells import add_cell_columns
 
@@ -534,6 +550,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ingest_synth": q_ingest_synth,
         "golden_features": q_golden_features,
         "tiles_synth": q_tiles_synth,
+        "tiles_aggregated_synth": q_tiles_aggregated_synth,
         "cells_synth": q_cells_synth,
         "knn_geo_synth": q_knn_geo_synth,
         "pip_geo_synth": q_pip_geo_synth,

@@ -75,7 +75,9 @@ def _wrap_documents(geo_spans: list[tuple[str, str]], spans_per_doc: int = 4) ->
             _wrap_chunk(geo_spans[lo : lo + SLICE], lo, spans_per_doc)
             for lo in range(0, n, SLICE)
         ]
-        return pa.concat_tables(parts).combine_chunks()
+        # stay chunked: combining >2GB of string data overflows the
+        # int32 offsets of pa.string()
+        return pa.concat_tables(parts)
     return _wrap_chunk(geo_spans, 0, spans_per_doc)
 
 

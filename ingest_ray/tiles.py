@@ -309,3 +309,300 @@ def assign_tiles(
 def tile_key_strings(cell: np.ndarray, path: np.ndarray) -> list[str]:
     """Human-readable tile ids, e.g. ``c042/p1f3`` (hex path w/ sentinel)."""
     return [f"c{c:03d}/p{p:x}" for c, p in zip(cell, path)]
+
+
+# --------------------------------------------------------------------------
+# aggregated (skew-proof) quad divide — exact T3 without cell colocation
+# --------------------------------------------------------------------------
+#
+# quad_divide needs every feature of a grid cell in one task, so a hot
+# cell (dense city) is a straggler and a memory cliff. But the divide
+# has exactly ONE inter-feature dependency: WHERE TO STOP (the ≤n leaf
+# rule / the count==parent ∧ all_big rule). The child a feature
+# descends into at each level is a pure f32 function of (cell bbox,
+# its own bbox). So:
+#
+#   pass 1  map: per-cell bbox partials                (tiny reduce)
+#   pass 2  map: per-feature FULL 30-level path + per-level "big" bits;
+#           partial-aggregate (cell, path30) → (count, AND big)  —
+#           only compact count keys ever leave a worker
+#   reduce: walk each cell's prefix-count tree top-down applying the
+#           reference's stop rules → (path30 → final path, depth)
+#   pass 3  map: truncate every feature's path via the broadcast table
+#
+# Identical output to quad_divide (property-tested), no feature
+# shuffle at all, and hot cells cost the same as cold ones. At planet
+# scale the reduce is a per-cell tree over ≤ count/n · 4/3 keys; here
+# it runs on the driver (documented partitioning assumption).
+
+
+def full_quad_paths(
+    qx0: np.ndarray,
+    qy0: np.ndarray,
+    qx1: np.ndarray,
+    qy1: np.ndarray,
+    minx: np.ndarray,
+    miny: np.ndarray,
+    maxx: np.ndarray,
+    maxy: np.ndarray,
+    is_point: np.ndarray,
+    depth_limit: int = DEPTH_LIMIT,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per-feature full-depth quad path (no stop rules applied).
+
+    Inputs are f32-able arrays; ``qx0..qy1`` is each feature's cell
+    bbox. Returns (path30 uint64 — 2 bits per level, level 1 at the
+    high end — and bigmask uint64 — bit d set iff the feature is
+    "big" w.r.t. its depth-d node's span, divide.rs:57-59).
+    """
+    f32 = np.float32
+    n = len(minx)
+    qx0 = qx0.astype(f32, copy=True)
+    qy0 = qy0.astype(f32, copy=True)
+    qx1 = qx1.astype(f32, copy=True)
+    qy1 = qy1.astype(f32, copy=True)
+    minx = minx.astype(f32, copy=False)
+    miny = miny.astype(f32, copy=False)
+    maxx = maxx.astype(f32, copy=False)
+    maxy = maxy.astype(f32, copy=False)
+    w = maxx - minx
+    h = maxy - miny
+    path = np.zeros(n, dtype=np.uint64)
+    bigmask = np.zeros(n, dtype=np.uint64)
+    two = f32(2)
+    for d in range(depth_limit):
+        span_x = qx1 - qx0
+        span_y = qy1 - qy0
+        big = (~is_point) & ((w > span_x) | (h > span_y))
+        bigmask |= big.astype(np.uint64) << np.uint64(d)
+        best = np.zeros(n, dtype=np.int64)
+        best_area = np.full(n, f32(0), dtype=f32)
+        for j in range(4):
+            ix, iy = f32(j % 2), f32(j // 2)
+            bx0 = (ix / two) * span_x + qx0
+            by0 = (iy / two) * span_y + qy0
+            bx1 = ((ix + f32(1)) / two) * span_x + qx0
+            by1 = ((iy + f32(1)) / two) * span_y + qy0
+            pt_in = (bx0 <= minx) & (minx <= bx1) & (by0 <= miny) & (miny <= by1)
+            disjoint = (bx0 > maxx) | (bx1 < minx) | (by0 > maxy) | (by1 < miny)
+            ox = np.minimum(maxx, bx1) - np.maximum(minx, bx0)
+            oy = np.minimum(maxy, by1) - np.maximum(miny, by0)
+            a = np.where(disjoint, f32(0), (ox * oy).astype(f32))
+            a = np.where(is_point, np.where(pt_in, f32(1), f32(0)), a)
+            better = a > best_area  # strict >: first max wins (divide.rs:44-51)
+            best = np.where(better, j, best)
+            best_area = np.where(better, a, best_area)
+        path = (path << np.uint64(2)) | best.astype(np.uint64)
+        bix = (best % 2).astype(f32)
+        biy = (best // 2).astype(f32)
+        nqx0 = (bix / two) * span_x + qx0
+        nqy0 = (biy / two) * span_y + qy0
+        qx1 = ((bix + f32(1)) / two) * span_x + qx0
+        qy1 = ((biy + f32(1)) / two) * span_y + qy0
+        qx0, qy0 = nqx0, nqy0
+    return path, bigmask
+
+
+def _stop_table(
+    keys: np.ndarray, counts: np.ndarray, bigmasks: np.ndarray, total: int, n: int,
+    depth_limit: int = DEPTH_LIMIT,
+) -> tuple[np.ndarray, np.ndarray]:
+    """One cell's prefix-tree walk → per-key (final path, depth).
+
+    ``keys`` are the cell's distinct path30 values, SORTED ascending;
+    ``counts``/``bigmasks`` their aggregated feature count / per-level
+    big AND. Applies quad_divide's stop rules exactly.
+    """
+    K = len(keys)
+    stop = np.full(K, -1, dtype=np.int64)
+    if total <= n:
+        stop[:] = 0
+    cnt_prev = np.full(K, total, dtype=np.int64)
+    for d in range(1, depth_limit + 1):
+        act = stop < 0
+        if not act.any():
+            break
+        prefix = keys >> np.uint64(2 * (depth_limit - d))
+        newg = np.concatenate([[True], prefix[1:] != prefix[:-1]])
+        starts = np.flatnonzero(newg)
+        gsizes = np.diff(np.concatenate([starts, [K]]))
+        cnt_g = np.add.reduceat(counts, starts)
+        big_g = np.bitwise_and.reduceat(bigmasks, starts)
+        cnt_d = np.repeat(cnt_g, gsizes)
+        big_d = np.repeat(big_g, gsizes)
+        all_big = (big_d >> np.uint64(d - 1)) & np.uint64(1)
+        leaf = (
+            (cnt_d <= n)
+            | ((cnt_d == cnt_prev) & (all_big == 1))
+            | (d >= depth_limit)
+        )
+        stop = np.where(act & leaf, d, stop)
+        cnt_prev = cnt_d
+    stop = np.where(stop < 0, depth_limit, stop)
+    su = stop.astype(np.uint64)
+    out_path = (np.uint64(1) << (np.uint64(2) * su)) | (
+        keys >> (np.uint64(2) * np.uint64(depth_limit) - np.uint64(2) * su)
+    )
+    return out_path.astype(np.int64), stop.astype(np.int8)
+
+
+def assign_tiles_aggregated(
+    features_ds,
+    grid_divs: tuple[int, int] = (8, 8),
+    leaf_capacity: int = LEAF_CAPACITY,
+    bounds: tuple[float, float, float, float] | None = None,
+):
+    """Skew-proof tile assignment: same output as :func:`assign_tiles`
+    (property-tested), zero feature shuffles."""
+    import pyarrow as pa
+    import ray
+
+    if bounds is None:
+        features_ds = features_ds.materialize()
+        bounds = global_bounds(features_ds)
+    features_ds = coalesce_blocks(features_ds).materialize()
+
+    with_cell = features_ds.map_batches(
+        lambda b: assign_grid_cell(b, bounds, grid_divs),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).materialize()
+
+    # pass 1: per-cell feature-bounds union (quad bbox = q_bbox fold,
+    # src/lib.rs:516-519) — partial per batch, tiny driver combine
+    def cell_bbox_partial(b: pa.Table) -> pa.Table:
+        cell = b.column("tile_cell").to_numpy(zero_copy_only=False)
+        order = np.argsort(cell, kind="stable")
+        cs = cell[order]
+        starts = np.flatnonzero(np.concatenate([[True], cs[1:] != cs[:-1]]))
+        out = {
+            "cell": pa.array(cs[starts], pa.int32()),
+            "minx": pa.array(np.minimum.reduceat(b.column("minx").to_numpy(zero_copy_only=False)[order], starts), pa.float32()),
+            "miny": pa.array(np.minimum.reduceat(b.column("miny").to_numpy(zero_copy_only=False)[order], starts), pa.float32()),
+            "maxx": pa.array(np.maximum.reduceat(b.column("maxx").to_numpy(zero_copy_only=False)[order], starts), pa.float32()),
+            "maxy": pa.array(np.maximum.reduceat(b.column("maxy").to_numpy(zero_copy_only=False)[order], starts), pa.float32()),
+            "n": pa.array(np.diff(np.concatenate([starts, [len(cs)]])), pa.int64()),
+        }
+        return pa.table(out)
+
+    parts = pa.concat_tables(
+        list(
+            with_cell.map_batches(cell_bbox_partial, batch_format="pyarrow", zero_copy_batch=True)
+            .iter_batches(batch_format="pyarrow", batch_size=1 << 20)
+        )
+    )
+    pc_ = parts.to_pandas()
+    gb = pc_.groupby("cell")
+    cell_bbox = {
+        int(c): (
+            np.float32(g["minx"].min()),
+            np.float32(g["miny"].min()),
+            np.float32(g["maxx"].max()),
+            np.float32(g["maxy"].max()),
+            int(g["n"].sum()),
+        )
+        for c, g in gb
+    }
+    bbox_ref = ray.put(cell_bbox)
+
+    # pass 2: full paths + per-(cell, path30) partial aggregation
+    def paths_partial(b: pa.Table) -> pa.Table:
+        cb = ray.get(bbox_ref)
+        cell = b.column("tile_cell").to_numpy(zero_copy_only=False)
+        minx = b.column("minx").to_numpy(zero_copy_only=False)
+        miny = b.column("miny").to_numpy(zero_copy_only=False)
+        maxx = b.column("maxx").to_numpy(zero_copy_only=False)
+        maxy = b.column("maxy").to_numpy(zero_copy_only=False)
+        kind = b.column("kind").to_numpy(zero_copy_only=False)
+        qx0 = np.empty(len(b), dtype=np.float32)
+        qy0 = np.empty(len(b), dtype=np.float32)
+        qx1 = np.empty(len(b), dtype=np.float32)
+        qy1 = np.empty(len(b), dtype=np.float32)
+        for c in np.unique(cell):
+            m = cell == c
+            bx = cb[int(c)]
+            qx0[m], qy0[m], qx1[m], qy1[m] = bx[0], bx[1], bx[2], bx[3]
+        path30, bigmask = full_quad_paths(
+            qx0, qy0, qx1, qy1, minx, miny, maxx, maxy, kind == 1
+        )
+        order = np.lexsort((path30, cell))
+        cs, ps, bs = cell[order], path30[order], bigmask[order]
+        starts = np.flatnonzero(
+            np.concatenate([[True], (cs[1:] != cs[:-1]) | (ps[1:] != ps[:-1])])
+        )
+        return pa.table(
+            {
+                "cell": pa.array(cs[starts], pa.int32()),
+                "path30": pa.array(ps[starts], pa.uint64()),
+                "count": pa.array(
+                    np.diff(np.concatenate([starts, [len(cs)]])), pa.int64()
+                ),
+                "bigand": pa.array(np.bitwise_and.reduceat(bs, starts), pa.uint64()),
+            }
+        )
+
+    agg = pa.concat_tables(
+        list(
+            with_cell.map_batches(paths_partial, batch_format="pyarrow", zero_copy_batch=True)
+            .iter_batches(batch_format="pyarrow", batch_size=1 << 22)
+        )
+    )
+    cells_a = agg.column("cell").to_numpy(zero_copy_only=False)
+    paths_a = agg.column("path30").to_numpy(zero_copy_only=False)
+    counts_a = agg.column("count").to_numpy(zero_copy_only=False)
+    bigs_a = agg.column("bigand").to_numpy(zero_copy_only=False)
+    order = np.lexsort((paths_a, cells_a))
+    cells_a, paths_a, counts_a, bigs_a = (
+        cells_a[order], paths_a[order], counts_a[order], bigs_a[order]
+    )
+    starts = np.flatnonzero(
+        np.concatenate([[True], (cells_a[1:] != cells_a[:-1]) | (paths_a[1:] != paths_a[:-1])])
+    )
+    gsz = np.diff(np.concatenate([starts, [len(cells_a)]]))
+    u_cell = cells_a[starts]
+    u_path = paths_a[starts]
+    u_cnt = np.add.reduceat(counts_a, starts)
+    u_big = np.bitwise_and.reduceat(bigs_a, starts)
+
+    # reduce: per-cell stop-tree walk
+    stop_tables: dict[int, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
+    cell_starts = np.flatnonzero(np.concatenate([[True], u_cell[1:] != u_cell[:-1]]))
+    cell_ends = np.concatenate([cell_starts[1:], [len(u_cell)]])
+    for s, e in zip(cell_starts, cell_ends):
+        c = int(u_cell[s])
+        total = cell_bbox[c][4]
+        fp, dep = _stop_table(u_path[s:e], u_cnt[s:e], u_big[s:e], total, leaf_capacity)
+        stop_tables[c] = (u_path[s:e], fp, dep)
+    stop_ref = ray.put(stop_tables)
+
+    # pass 3: truncate each feature's path via the broadcast stop table
+    def finalize(b: pa.Table) -> pa.Table:
+        st = ray.get(stop_ref)
+        cb = ray.get(bbox_ref)
+        cell = b.column("tile_cell").to_numpy(zero_copy_only=False)
+        minx = b.column("minx").to_numpy(zero_copy_only=False)
+        miny = b.column("miny").to_numpy(zero_copy_only=False)
+        maxx = b.column("maxx").to_numpy(zero_copy_only=False)
+        maxy = b.column("maxy").to_numpy(zero_copy_only=False)
+        kind = b.column("kind").to_numpy(zero_copy_only=False)
+        qx0 = np.empty(len(b), dtype=np.float32)
+        qy0 = np.empty(len(b), dtype=np.float32)
+        qx1 = np.empty(len(b), dtype=np.float32)
+        qy1 = np.empty(len(b), dtype=np.float32)
+        for c in np.unique(cell):
+            m = cell == c
+            bx = cb[int(c)]
+            qx0[m], qy0[m], qx1[m], qy1[m] = bx[0], bx[1], bx[2], bx[3]
+        path30, _ = full_quad_paths(qx0, qy0, qx1, qy1, minx, miny, maxx, maxy, kind == 1)
+        out_path = np.empty(len(b), dtype=np.int64)
+        out_depth = np.empty(len(b), dtype=np.int8)
+        for c in np.unique(cell):
+            m = cell == c
+            keys, fp, dep = st[int(c)]
+            pos = np.searchsorted(keys, path30[m])
+            out_path[m] = fp[pos]
+            out_depth[m] = dep[pos]
+        out = b.append_column("tile_path", pa.array(out_path, pa.int64()))
+        return out.append_column("tile_depth", pa.array(out_depth, pa.int8()))
+
+    return with_cell.map_batches(finalize, batch_format="pyarrow", zero_copy_batch=True)
