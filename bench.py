@@ -56,7 +56,7 @@ def corpus_path(sf: float) -> str:
     return path
 
 
-def flagship(sf_dir: str, out_dir: str, corpus: str | None = None) -> dict:
+def flagship(sf_dir: str, out_dir: str, corpus: str | None = None, join_mode: str = "auto") -> dict:
     """The headline pipeline: documents → parse → joins → encode →
     cell index → quadtile divide → checkpointed partitioned sink."""
     import ray.data as rd
@@ -71,9 +71,10 @@ def flagship(sf_dir: str, out_dir: str, corpus: str | None = None) -> dict:
 
     t0 = time.perf_counter()
     docs = rd.read_parquet(corpus)
-    # auto join mode: broadcast under 2M nodes (bench scale), shuffle
-    # hash join beyond — the same pipeline code serves both regimes.
-    feats = ingest_features(docs, EngineConfig(join_mode="auto", num_partitions=32))
+    # auto join mode picks the zone-map broadcast path below 50M nodes
+    # and the distributed hash join beyond; --scaling forces "shuffle"
+    # to measure the planet-scale path (see run_scaling).
+    feats = ingest_features(docs, EngineConfig(join_mode=join_mode, num_partitions=32))
     feats = feats.map_batches(add_cell_columns, batch_format="pyarrow", zero_copy_batch=True)
     manifest = optimize_to_tiles(
         feats, out_dir, grid_divs=(8, 8), leaf_capacity=2048, resume=False
@@ -93,7 +94,7 @@ def flagship(sf_dir: str, out_dir: str, corpus: str | None = None) -> dict:
     }
 
 
-def run_worker(num_cpus: int, sf_dir: str, corpus: str | None = None) -> None:
+def run_worker(num_cpus: int, sf_dir: str, corpus: str | None = None, join_mode: str = "auto") -> None:
     import shutil
 
     import ray
@@ -111,7 +112,7 @@ def run_worker(num_cpus: int, sf_dir: str, corpus: str | None = None) -> None:
         rd.range(num_cpus * 4, override_num_blocks=num_cpus * 4).map_batches(
             lambda b: b, batch_format="pyarrow"
         ).materialize()
-        res = flagship(sf_dir, out_dir, corpus=corpus)
+        res = flagship(sf_dir, out_dir, corpus=corpus, join_mode=join_mode)
     finally:
         ray.shutdown()
     res["num_cpus"] = num_cpus
@@ -129,7 +130,11 @@ def run_scaling(sf_dir: str) -> None:
     elements) so parallel work dominates fixed startup/barrier costs —
     the regime the 10^12-doc target actually runs in — and takes the
     best of ``SCALING_REPEATS`` runs per leg (single-run wall time on
-    this shared machine varies ±25%)."""
+    this shared machine varies ±25%). Legs force ``join_mode="shuffle"``:
+    the cluster-scaling criterion concerns the planet-scale path, where
+    the node table exceeds any broadcast index; the (45% faster at this
+    size) zone-map broadcast path is the throughput headline in the
+    default suite."""
     n = SCALING_ELEMENTS
     corpus = f"/tmp/ingest_ray_bench/corpus_n{n}"
     if not os.path.isdir(corpus):
@@ -151,6 +156,8 @@ def run_scaling(sf_dir: str) -> None:
                     sf_dir,
                     "--corpus",
                     corpus,
+                    "--join-mode",
+                    "shuffle",
                 ],
                 capture_output=True,
                 text=True,
@@ -252,10 +259,11 @@ def main() -> None:
     ap.add_argument("--worker", type=int, default=None)
     ap.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
     ap.add_argument("--corpus", default=None)
+    ap.add_argument("--join-mode", default="auto", choices=["auto", "broadcast", "shuffle"])
     args = ap.parse_args()
 
     if args.worker is not None:
-        run_worker(args.worker, args.sf_dir, corpus=args.corpus)
+        run_worker(args.worker, args.sf_dir, corpus=args.corpus, join_mode=args.join_mode)
         return
     if args.scaling:
         run_scaling(args.sf_dir)
