@@ -377,6 +377,38 @@ def q_tiles_aggregated_synth(sf_dir: str):
     )
 
 
+def q_changeset_golden(sf_dir: str):
+    """Incremental update round (the reference's pinned changeset0):
+    create/modify/delete + dependency propagation, patched store ==
+    fresh ingest of the updated corpus."""
+    import ray.data as rd
+
+    from ingest_ray.changeset import apply_changeset, merge_features
+    from ingest_ray.config import EngineConfig
+    from ingest_ray.pipeline import ingest_features
+    from ingest_ray.synth import golden_documents
+
+    changes = [
+        {"op": "modify", "kind": "node", "element": {"id": 2000, "lon": 13.03, "lat": 37.04, "tags": [("highway", "bus_stop")]}},
+        {"op": "modify", "kind": "node", "element": {"id": 9000, "lon": 4.999, "lat": -9.999, "tags": []}},
+        {"op": "delete", "kind": "node", "element": {"id": 9003}},
+        {"op": "create", "kind": "node", "element": {"id": 9007, "lon": 5.001, "lat": -10.001, "tags": []}},
+        {"op": "delete", "kind": "way", "element": {"id": 555}},
+        {"op": "modify", "kind": "way", "element": {"id": 600, "refs": [9000, 9001, 9002, 9007, 9000], "tags": []}},
+    ]
+    docs = rd.from_arrow(golden_documents())
+    cfg = EngineConfig(join_mode="broadcast")
+    old = pa.concat_tables(
+        list(ingest_features(docs, cfg).iter_batches(batch_format="pyarrow", batch_size=1 << 20))
+    )
+    delta, removed, _ = apply_changeset(docs, changes, cfg)
+    delta_t = pa.concat_tables(
+        list(delta.iter_batches(batch_format="pyarrow", batch_size=1 << 20))
+    )
+    out = merge_features(old, delta_t, removed)
+    return out.select(["key", "ftype", "kind", "minx", "miny", "maxx", "maxy"])
+
+
 def q_cells_synth(sf_dir: str):
     from ingest_ray.cells import add_cell_columns
 
@@ -551,6 +583,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "golden_features": q_golden_features,
         "tiles_synth": q_tiles_synth,
         "tiles_aggregated_synth": q_tiles_aggregated_synth,
+        "changeset_golden": q_changeset_golden,
         "cells_synth": q_cells_synth,
         "knn_geo_synth": q_knn_geo_synth,
         "pip_geo_synth": q_pip_geo_synth,

@@ -120,7 +120,7 @@ def run_worker(num_cpus: int, sf_dir: str, corpus: str | None = None, join_mode:
 
 
 SCALING_ELEMENTS = int(os.environ.get("GRAFT_SCALING_ELEMENTS", "30000000"))
-SCALING_REPEATS = int(os.environ.get("GRAFT_SCALING_REPEATS", "2"))
+SCALING_REPEATS = int(os.environ.get("GRAFT_SCALING_REPEATS", "1"))
 
 
 def run_scaling(sf_dir: str) -> None:
