@@ -171,16 +171,26 @@ def _earcut_linked(ear, triangles, dim, min_x, min_y, inv_size, pass_):
 
 
 def _is_ear(ear):
+    # hot loop: _area/_point_in_triangle inlined (identical arithmetic
+    # and evaluation order — byte-equal cells, just fewer frames)
     a, b, c = ear.prev, ear, ear.next
-    if _area(a, b, c) >= 0:
+    ax, ay, bx, by, cx, cy = a.x, a.y, b.x, b.y, c.x, c.y
+    if (by - ay) * (cx - bx) - (bx - ax) * (cy - by) >= 0:
         return False  # reflex
-    p = ear.next.next
-    while p is not ear.prev:
+    p = c.next
+    stop = a
+    while p is not stop:
+        px = p.x
+        py = p.y
         if (
-            _point_in_triangle(a.x, a.y, b.x, b.y, c.x, c.y, p.x, p.y)
-            and _area(p.prev, p, p.next) >= 0
+            (cx - px) * (ay - py) >= (ax - px) * (cy - py)
+            and (ax - px) * (by - py) >= (bx - px) * (ay - py)
+            and (bx - px) * (cy - py) >= (cx - px) * (by - py)
         ):
-            return False
+            pp = p.prev
+            pn = p.next
+            if (py - pp.y) * (pn.x - px) - (px - pp.x) * (pn.y - py) >= 0:
+                return False
         p = p.next
     return True
 
