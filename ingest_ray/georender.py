@@ -180,6 +180,101 @@ def encode_points_vec(
     return flat, offs.astype(np.int32)
 
 
+def _scatter_mat(flat: np.ndarray, dst_start: np.ndarray, mat: np.ndarray, lens: np.ndarray) -> None:
+    """Scatter per-row byte rows ``mat[i, :lens[i]]`` into ``flat`` at
+    ``dst_start[i]`` (zero-length rows contribute nothing)."""
+    tot = int(lens.sum())
+    if tot == 0:
+        return
+    first = np.cumsum(lens) - lens
+    within = np.arange(tot, dtype=np.int64) - np.repeat(first, lens)
+    dst = np.repeat(dst_start, lens) + within
+    rows = np.repeat(np.arange(len(lens)), lens)
+    flat[dst] = mat[rows, within]
+
+
+def _scatter_flat(flat: np.ndarray, dst_start: np.ndarray, lens: np.ndarray, src: np.ndarray) -> None:
+    """Scatter a row-grouped flat byte stream (row i owns the next
+    ``lens[i]`` bytes of ``src``) into ``flat`` at ``dst_start[i]``."""
+    tot = int(lens.sum())
+    if tot == 0:
+        return
+    first = np.cumsum(lens) - lens
+    within = np.arange(tot, dtype=np.int64) - np.repeat(first, lens)
+    dst = np.repeat(dst_start, lens) + within
+    flat[dst] = src[:tot]
+
+
+def encode_geoms_vec(
+    fids: np.ndarray,
+    ftypes: np.ndarray,
+    kinds: np.ndarray,
+    pos_flat: np.ndarray,
+    pos_offsets: np.ndarray,
+    cells_flat: np.ndarray,
+    cells_offsets: np.ndarray,
+    lab_flat: np.ndarray,
+    lab_lens: np.ndarray,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized line/area payload assembly → (flat uint8, int64 offsets).
+
+    Byte grammar identical to :func:`encode_line` / :func:`encode_area`
+    (round-trip + differential tested). ``pos_flat`` is interleaved f32
+    lon,lat; ``pos_offsets`` are *pair* offsets (len n+1); lines have an
+    empty cells segment and omit the cell-count varint entirely;
+    ``lab_flat``/``lab_lens`` are concatenated label bytes + per-row
+    lengths. No per-row Python — this is the ways analog of
+    :func:`encode_points_vec` (the per-row dict/bytearray loop was the
+    dominant serial fraction of the encode stage).
+    """
+    n = len(fids)
+    npts = np.diff(pos_offsets).astype(np.int64)
+    ft_mat, ft_len = varint_encode_vec(np.asarray(ftypes, dtype=np.uint64))
+    id_mat, id_len = varint_encode_vec(np.asarray(fids, dtype=np.uint64))
+    np_mat, np_len = varint_encode_vec(npts.astype(np.uint64))
+    is_area = kinds == KIND_AREA
+    ncells = np.diff(cells_offsets).astype(np.int64)
+    nc_mat, nc_len = varint_encode_vec(ncells.astype(np.uint64))
+    nc_len = np.where(is_area, nc_len, 0)
+    if len(cells_flat):
+        c_mat, c_lens = varint_encode_vec(np.asarray(cells_flat, dtype=np.uint64))
+        ctot = int(c_lens.sum())
+        cfirst = np.cumsum(c_lens) - c_lens
+        cwithin = np.arange(ctot, dtype=np.int64) - np.repeat(cfirst, c_lens)
+        crows = np.repeat(np.arange(len(c_lens)), c_lens)
+        cbytes = c_mat[crows, cwithin]
+        ccum = np.concatenate([[0], np.cumsum(c_lens)])
+        row_cbytes = (ccum[cells_offsets[1:]] - ccum[cells_offsets[:-1]]).astype(np.int64)
+    else:
+        cbytes = np.empty(0, dtype=np.uint8)
+        row_cbytes = np.zeros(n, dtype=np.int64)
+    coord_len = 8 * npts
+    lab_lens = np.asarray(lab_lens, dtype=np.int64)
+    total = 2 + ft_len + id_len + np_len + coord_len + nc_len + row_cbytes + lab_lens
+    offs = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(total, out=offs[1:])
+    flat = np.empty(offs[-1], dtype=np.uint8)
+    start = offs[:-1]
+    flat[start] = VERSION
+    flat[start + 1] = kinds
+    cursor = start + 2
+    _scatter_mat(flat, cursor, ft_mat, ft_len)
+    cursor = cursor + ft_len
+    _scatter_mat(flat, cursor, id_mat, id_len)
+    cursor = cursor + id_len
+    _scatter_mat(flat, cursor, np_mat, np_len)
+    cursor = cursor + np_len
+    coord_bytes = np.ascontiguousarray(pos_flat.astype("<f4", copy=False)).view(np.uint8)
+    _scatter_flat(flat, cursor, coord_len, coord_bytes)
+    cursor = cursor + coord_len
+    _scatter_mat(flat, cursor, nc_mat, nc_len)
+    cursor = cursor + nc_len
+    _scatter_flat(flat, cursor, row_cbytes, cbytes)
+    cursor = cursor + row_cbytes
+    _scatter_flat(flat, cursor, lab_lens, lab_flat)
+    return flat, offs
+
+
 def decode(buf: bytes) -> Feature:
     version, off = varint_decode(buf, 0)
     if version != VERSION:

@@ -127,3 +127,96 @@ def test_sharded_indexes_equal_driver_indexes():
     f1, c1, g1 = dw.lookup_refs(wkeys)
     f2, c2, g2 = sw.lookup_refs(wkeys)
     assert (f1 == f2).all() and (c1 == c2).all() and (g1 == g2).all()
+
+
+def test_geom_encoder_vectorized_roundtrip():
+    """encode_geoms_vec must emit the exact scalar encode_line /
+    encode_area byte grammar for a mixed line/area batch."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ingest_ray import georender
+
+    rng = np.random.default_rng(7)
+    n = 64
+    fids = (rng.integers(1, 1 << 40, n) * 3 + 1).astype(np.uint64)
+    ftypes = rng.integers(0, 300, n).astype(np.uint64)
+    kinds = np.where(rng.random(n) < 0.5, georender.KIND_AREA, georender.KIND_LINE).astype(
+        np.uint8
+    )
+    npts = rng.integers(2, 9, n)
+    pos_offs = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(npts, out=pos_offs[1:])
+    pos_flat = rng.uniform(-180, 180, 2 * int(pos_offs[-1])).astype(np.float32)
+    ncells = np.where(kinds == georender.KIND_AREA, rng.integers(0, 12, n), 0)
+    cells_offs = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(ncells, out=cells_offs[1:])
+    cells_flat = rng.integers(0, 1 << 20, int(cells_offs[-1])).astype(np.int64)
+    labels = [bytes(rng.integers(1, 255, rng.integers(1, 9)).astype(np.uint8)) for _ in range(n)]
+    lab_flat = np.frombuffer(b"".join(labels), dtype=np.uint8)
+    lab_lens = np.array([len(b) for b in labels], dtype=np.int64)
+
+    flat, offs = georender.encode_geoms_vec(
+        fids, ftypes, kinds, pos_flat, pos_offs, cells_flat, cells_offs, lab_flat, lab_lens
+    )
+    blob = flat.tobytes()
+    for i in range(n):
+        got = blob[offs[i] : offs[i + 1]]
+        pos = pos_flat[2 * pos_offs[i] : 2 * pos_offs[i + 1]].tolist()
+        if kinds[i] == georender.KIND_AREA:
+            want = georender.encode_area(
+                int(fids[i]),
+                int(ftypes[i]),
+                pos,
+                cells_flat[cells_offs[i] : cells_offs[i + 1]].tolist(),
+                labels[i],
+            )
+        else:
+            want = georender.encode_line(int(fids[i]), int(ftypes[i]), pos, labels[i])
+        assert got == want, i
+
+
+def test_is_area_vectorized_equals_scalar():
+    """ways_are_area_vec / relations_are_area_vec vs the scalar rules on
+    randomized tag/ref combinations (incl. area=yes/no overrides and
+    per-key exception values)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ingest_ray.osm_area import (
+        relation_is_area,
+        relations_are_area_vec,
+        way_is_area,
+        ways_are_area_vec,
+    )
+
+    rng = np.random.default_rng(11)
+    keys = ["building", "leisure", "natural", "waterway", "highway", "area", "name", "type"]
+    vals = ["yes", "no", "track", "coastline", "riverbank", "platform", "multipolygon", "x"]
+    tag_lists, ref_lists = [], []
+    for _ in range(400):
+        ntags = int(rng.integers(0, 5))
+        tag_lists.append(
+            [
+                {"key": keys[rng.integers(len(keys))], "value": vals[rng.integers(len(vals))]}
+                for _ in range(ntags)
+            ]
+        )
+        nr = int(rng.integers(0, 7))
+        refs = rng.integers(1, 6, nr).tolist()
+        if nr >= 4 and rng.random() < 0.5:
+            refs[-1] = refs[0]
+        ref_lists.append(refs)
+    tags_col = pa.array(
+        tag_lists,
+        pa.list_(pa.struct([pa.field("key", pa.string()), pa.field("value", pa.string())])),
+    )
+    offs = np.zeros(len(ref_lists) + 1, dtype=np.int64)
+    np.cumsum([len(r) for r in ref_lists], out=offs[1:])
+    flat = np.array([x for r in ref_lists for x in r], dtype=np.int64)
+    got_w = ways_are_area_vec(tags_col, offs, flat)
+    got_r = relations_are_area_vec(tags_col)
+    for i, (tl, rl) in enumerate(zip(tag_lists, ref_lists)):
+        pairs = [(t["key"], t["value"]) for t in tl]
+        assert got_w[i] == way_is_area(pairs, rl), (i, pairs, rl)
+        assert got_r[i] == relation_is_area(pairs), (i, pairs)
