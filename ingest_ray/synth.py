@@ -201,12 +201,25 @@ def synth_elements(n: int, seed: int = 42, hotspot_frac: float = 0.2):
 
     ways = []
     way_id_base = 10_000_000_000
+    lon_r = nodes["lon"]
+    lat_r = nodes["lat"]
     for i in range(4, n, 5):
         k = 4 + int(h1[i] % np.uint64(9))  # 4..12 vertices
         lo = max(0, i - k)
-        ring = [int(node_ids[j]) for j in range(lo, i)]
-        if len(ring) < 3:
+        if i - lo < 3:
             continue
+        # order the ring vertices by angle around their centroid so the
+        # polygon is SIMPLE — real OSM areas (buildings, parks, lakes)
+        # are simple polygons; random vertex order yields star-crossed
+        # self-intersecting rings that drive every triangulation into
+        # earcut's worst-case local-intersection/split fallback, which
+        # is not a representative workload. Same vertex set → same
+        # resolved/distinct counts and bboxes; only ring order differs.
+        span = np.arange(lo, i)
+        vx = lon_r[span]
+        vy = lat_r[span]
+        ang = np.arctan2(vy - vy.mean(), vx - vx.mean())
+        ring = [int(node_ids[j]) for j in span[np.argsort(ang, kind="stable")]]
         ring = ring + [ring[0]]
         tags = [("leisure", "park"), ("name", f"park {i}")] if int(h2[i] % np.uint64(10)) == 0 else []
         ways.append((way_id_base + i, ring, tags))
