@@ -110,6 +110,16 @@ def build_node_index(nodes_ds) -> "ray.ObjectRef":
 
 
 _SHARD_CACHE: dict = {}  # per-worker-process shard cache (ref hex → arrays)
+_SHARD_CACHE_CAP = 512  # bound pinned plasma views (FIFO eviction; an
+# unbounded cache pins every index block ever touched for the worker's
+# lifetime — long-lived clusters running successive pipelines/changesets
+# would accumulate object-store memory until spill/OOM)
+
+
+def _shard_cache_put(key, value):
+    if len(_SHARD_CACHE) >= _SHARD_CACHE_CAP:
+        _SHARD_CACHE.pop(next(iter(_SHARD_CACHE)))
+    _SHARD_CACHE[key] = value
 
 
 @ray.remote(num_cpus=0.25)
@@ -157,7 +167,7 @@ class ShardedNodeIndex:
                 srt = np.argsort(ids, kind="stable")
                 ids, lon, lat = ids[srt], lon[srt], lat[srt]
             got = (ids, lon, lat)
-            _SHARD_CACHE[key] = got
+            _shard_cache_put(key, got)
         return got
 
     def lookup(self, keys: np.ndarray) -> tuple[np.ndarray, list[np.ndarray]]:
@@ -167,12 +177,15 @@ class ShardedNodeIndex:
         lat = np.full(n, np.nan, dtype=np.float64)
         if not self.block_refs or n == 0:
             return found, [lon, lat]
-        for b in range(len(self.block_refs)):
-            cand = (~found) & (keys >= self.mins[b]) & (keys <= self.maxs[b])
-            if not cand.any():
-                continue
-            sel = np.flatnonzero(cand)
-            ids, slon, slat = self._shard(b)
+        # primary-block fast path: blocks sorted by min, so the last
+        # block with min ≤ key is each key's best candidate — one
+        # searchsorted instead of an O(n_blocks × batch) mask sweep
+        # (zone maps barely overlap: OSM ids ascend through a corpus)
+        prim = np.searchsorted(self.mins, keys, side="right") - 1
+        in_prim = (prim >= 0) & (keys <= self.maxs[np.clip(prim, 0, None)])
+        for b in np.unique(prim[in_prim]):
+            sel = np.flatnonzero(in_prim & (prim == b))
+            ids, slon, slat = self._shard(int(b))
             k = keys[sel]
             idx = np.searchsorted(ids, k)
             idx_c = np.clip(idx, 0, len(ids) - 1)
@@ -181,6 +194,27 @@ class ShardedNodeIndex:
             lon[hs] = slon[idx_c[hit]]
             lat[hs] = slat[idx_c[hit]]
             found[hs] = True
+        # overlap fallback: keys inside an earlier overlapping block's
+        # range — rare; the per-block candidate sweep only touches
+        # blocks whose [min, max] still contains an unresolved key
+        if not found.all():
+            miss = ~found
+            for b in range(len(self.block_refs)):
+                cand = miss & (keys >= self.mins[b]) & (keys <= self.maxs[b])
+                cand &= prim != b
+                if not cand.any():
+                    continue
+                sel = np.flatnonzero(cand)
+                ids, slon, slat = self._shard(b)
+                k = keys[sel]
+                idx = np.searchsorted(ids, k)
+                idx_c = np.clip(idx, 0, len(ids) - 1)
+                hit = (idx < len(ids)) & (ids[idx_c] == k)
+                hs = sel[hit]
+                lon[hs] = slon[idx_c[hit]]
+                lat[hs] = slat[idx_c[hit]]
+                found[hs] = True
+                miss[hs] = False
         return found, [lon, lat]
 
 
@@ -203,7 +237,8 @@ def build_node_index_auto(nodes_ds) -> "ray.ObjectRef":
     try:
         big = nodes_ds.count() > SHARDED_INDEX_THRESHOLD
     except Exception:
-        big = False
+        big = True  # size unknown: the sharded (zone-map) index is safe
+        # at any size; driver collect is only safe when provably small
     return build_node_index_sharded(nodes_ds) if big else build_node_index(nodes_ds)
 
 
@@ -263,8 +298,20 @@ class ShardedWayRefsIndex:
                 srt = np.argsort(ids, kind="stable")
                 ids, starts, counts = ids[srt], starts[srt], counts[srt]
             got = (ids, starts, counts, flat)
-            _SHARD_CACHE[key] = got
+            _shard_cache_put(key, got)
         return got
+
+    def _probe(self, b: int, keys, sel, found, counts, loc_block, loc_start) -> None:
+        ids, starts, cnts, _flat = self._shard(b)
+        k = keys[sel]
+        idx = np.searchsorted(ids, k)
+        idx_c = np.clip(idx, 0, len(ids) - 1)
+        hit = (idx < len(ids)) & (ids[idx_c] == k)
+        hs = sel[hit]
+        found[hs] = True
+        counts[hs] = cnts[idx_c[hit]]
+        loc_block[hs] = b
+        loc_start[hs] = starts[idx_c[hit]]
 
     def lookup_refs(self, keys: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         n = len(keys)
@@ -274,21 +321,18 @@ class ShardedWayRefsIndex:
         loc_start = np.zeros(n, dtype=np.int64)
         if not self.block_refs or n == 0:
             return found, counts, np.empty(0, dtype=np.int64)
-        for b in range(len(self.block_refs)):
-            cand = (~found) & (keys >= self.mins[b]) & (keys <= self.maxs[b])
-            if not cand.any():
-                continue
-            sel = np.flatnonzero(cand)
-            ids, starts, cnts, _flat = self._shard(b)
-            k = keys[sel]
-            idx = np.searchsorted(ids, k)
-            idx_c = np.clip(idx, 0, len(ids) - 1)
-            hit = (idx < len(ids)) & (ids[idx_c] == k)
-            hs = sel[hit]
-            found[hs] = True
-            counts[hs] = cnts[idx_c[hit]]
-            loc_block[hs] = b
-            loc_start[hs] = starts[idx_c[hit]]
+        # primary-block fast path + overlap fallback (see
+        # ShardedNodeIndex.lookup for the zone-map argument)
+        prim = np.searchsorted(self.mins, keys, side="right") - 1
+        in_prim = (prim >= 0) & (keys <= self.maxs[np.clip(prim, 0, None)])
+        for b in np.unique(prim[in_prim]):
+            self._probe(int(b), keys, np.flatnonzero(in_prim & (prim == b)), found, counts, loc_block, loc_start)
+        if not found.all():
+            for b in range(len(self.block_refs)):
+                cand = (~found) & (keys >= self.mins[b]) & (keys <= self.maxs[b]) & (prim != b)
+                if not cand.any():
+                    continue
+                self._probe(b, keys, np.flatnonzero(cand), found, counts, loc_block, loc_start)
         total = int(counts.sum())
         out = np.empty(total, dtype=np.int64)
         first_of = np.cumsum(counts) - counts
@@ -322,7 +366,7 @@ def build_way_refs_index_auto(ways_ds) -> "ray.ObjectRef":
     try:
         big = ways_ds.count() > SHARDED_INDEX_THRESHOLD
     except Exception:
-        big = False
+        big = True  # see build_node_index_auto
     return build_way_refs_index_sharded(ways_ds) if big else build_way_refs_index(ways_ds)
 
 
