@@ -516,14 +516,28 @@ def q_simhash_docs(sf_dir: str):
 
 
 def q_minhash_pairs_docs(sf_dir: str):
-    from ingest_ray.functions.dedup import minhash_lsh_candidates, verify_jaccard_pairs
+    from ingest_ray.functions.dedup import (
+        minhash_lsh_candidates,
+        verify_jaccard_pairs_distributed,
+    )
 
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
-    table = pa.parquet.read_table(
-        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    cands = minhash_lsh_candidates(docs, num_hashes=64, bands=16, distinct=False)
+    # distributed verify: sketches shuffle by id, no corpus broadcast
+    # and no driver-side table materialization
+    return verify_jaccard_pairs_distributed(cands, docs, threshold=0.5).select_columns(
+        ["a", "b"]
     )
-    cands = minhash_lsh_candidates(docs, num_hashes=64, bands=16)
-    return verify_jaccard_pairs(cands, table, threshold=0.5).select_columns(["a", "b"])
+
+
+def q_minhash_dedup_docs(sf_dir: str):
+    """Near-dup cluster assignment (doc_id → keep_id): exact
+    pre-collapse + LSH over representatives + union-find — the
+    linear-output dedup surface (see dedup.minhash_dedup_assign)."""
+    from ingest_ray.functions.dedup import minhash_dedup_assign
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return minhash_dedup_assign(docs, threshold=0.5)
 
 
 def q_simhash_pairs_docs(sf_dir: str):
@@ -593,6 +607,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_docs": q_simhash_docs,
         "simhash_pairs_docs": q_simhash_pairs_docs,
         "minhash_pairs_docs": q_minhash_pairs_docs,
+        "minhash_dedup_docs": q_minhash_dedup_docs,
         "lang_id_docs": q_lang_id_docs,
         "fingerprint_docs": q_fingerprint_docs,
         "lsh_ann": q_lsh_ann,

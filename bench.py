@@ -238,6 +238,7 @@ def suite(sf_dir: str) -> dict[str, float]:
         "dedup_exact",
         "token_count",
         "minhash_pairs_docs",
+        "minhash_dedup_docs",
         "simhash_pairs_docs",
         "ann_topk",
         "lsh_ann",

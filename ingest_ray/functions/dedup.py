@@ -53,7 +53,9 @@ def exact_dedup(docs_ds):
 # MinHash + LSH
 # --------------------------------------------------------------------------
 
-_MINHASH_SEEDS = np.arange(1, 65, dtype=np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+_MINHASH_SEEDS = np.arange(1, 257, dtype=np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+_U64_MAX = np.uint64(0xFFFFFFFFFFFFFFFF)
+_FNV_PRIME = np.uint64(0x100000001B3)
 
 
 def minhash_signature(sh: set[int], num_hashes: int = 64) -> np.ndarray:
@@ -67,72 +69,241 @@ def minhash_signature(sh: set[int], num_hashes: int = 64) -> np.ndarray:
     return sig
 
 
-def minhash_lsh_candidates(
-    docs_ds, num_hashes: int = 64, bands: int = 16, shingle_n: int = 3
-):
-    """documents → candidate near-dup pairs via banded MinHash LSH.
+def shingle_hashes_batch(
+    texts: list, n: int = 3, unique: bool = True
+) -> tuple[np.ndarray, np.ndarray]:
+    """Whole-batch word n-gram shingle hashing → (flat uint64 hashes,
+    int64 doc offsets).
 
-    Stages: per-batch shingle+minhash (vectorized per doc over its
-    shingles) → explode to (band_id, band_hash, doc_id) rows →
-    groupby(band) → per-bucket pairs. The groupby shuffles only
-    (band_hash, doc_id) — the scale path of the guide's near-dup
-    recipe. Returns Dataset (a, b) with a < b, distinct.
+    Gram hashes combine consecutive word hashes (vectorized FNV over
+    every word of the batch, then one numpy pass per gram position)
+    instead of building per-gram strings — no per-doc Python beyond the
+    word split. Docs with 0 < words < n get one shingle mixing all
+    their words. ``unique=True`` dedupes within each doc (set
+    semantics, needed for exact Jaccard; MinHash mins are unaffected).
     """
-    rows_per_band = num_hashes // bands
+    ndocs = len(texts)
+    words_per_doc = [(_WS.split(t.strip()) if (t or "").strip() else []) for t in texts]
+    wcounts = np.fromiter((len(w) for w in words_per_doc), dtype=np.int64, count=ndocs)
+    wh = hash64_str([w for ws in words_per_doc for w in ws])
+    woffs = np.cumsum(wcounts) - wcounts
+    g_counts = np.where(wcounts == 0, 0, np.maximum(wcounts - (n - 1), 1))
+    g_offs = np.zeros(ndocs + 1, dtype=np.int64)
+    np.cumsum(g_counts, out=g_offs[1:])
+    total = int(g_offs[-1])
+    if total == 0:
+        return np.empty(0, dtype=np.uint64), g_offs
+    doc_of = np.repeat(np.arange(ndocs), g_counts)
+    within = np.arange(total, dtype=np.int64) - np.repeat(g_offs[:-1], g_counts)
+    gstart = woffs[doc_of] + within
+    doc_end = (woffs + wcounts)[doc_of]
+    acc = np.zeros(total, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for k in range(n):
+            idx = gstart + k
+            valid = idx < doc_end
+            if not valid.any():
+                break
+            acc[valid] = (acc[valid] ^ wh[idx[valid]]) * _FNV_PRIME
+    flat = splitmix64(acc)
+    if not unique:
+        return flat, g_offs
+    order = np.lexsort((flat, doc_of))
+    sd, sf = doc_of[order], flat[order]
+    keep = np.empty(total, dtype=bool)
+    keep[0] = True
+    keep[1:] = (sd[1:] != sd[:-1]) | (sf[1:] != sf[:-1])
+    u_counts = np.bincount(sd[keep], minlength=ndocs)
+    u_offs = np.zeros(ndocs + 1, dtype=np.int64)
+    np.cumsum(u_counts, out=u_offs[1:])
+    return sf[keep], u_offs
 
-    def sig_stage(batch: pa.Table) -> pa.Table:
-        texts = batch.column("text").to_pylist()
-        doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
-        band_ids, band_hashes, out_ids = [], [], []
-        for i, t in enumerate(texts):
-            sig = minhash_signature(shingles(t or "", shingle_n), num_hashes)
-            for b in range(bands):
-                chunk = sig[b * rows_per_band : (b + 1) * rows_per_band]
-                h = int(splitmix64(np.bitwise_xor.reduce(chunk) ^ np.uint64(b * 1315423911)))
-                band_ids.append(b)
-                band_hashes.append(h)
-                out_ids.append(int(doc_ids[i]))
-        return pa.table(
-            {
-                "band": pa.array(band_ids, pa.int32()),
-                "bh": pa.array(np.array(band_hashes, dtype=np.uint64), pa.uint64()),
-                "doc_id": pa.array(out_ids, pa.int64()),
-            }
-        )
 
-    exploded = docs_ds.map_batches(sig_stage, batch_format="pyarrow", zero_copy_batch=True)
+def minhash_matrix(flat: np.ndarray, offs: np.ndarray, num_hashes: int = 64) -> np.ndarray:
+    """Matrix-form MinHash: (ndocs, num_hashes) uint64 over per-doc
+    shingle segments — num_hashes vectorized splitmix+reduceat passes,
+    zero per-doc Python (the per-doc 64-pass loop was the dominant cost
+    of the LSH pipeline)."""
+    ndocs = len(offs) - 1
+    sig = np.full((ndocs, num_hashes), _U64_MAX)
+    if len(flat) == 0 or ndocs == 0:
+        return sig
+    # reduceat over NONEMPTY doc starts only: empty docs have zero
+    # width, so consecutive nonempty starts delimit exact segments
+    # (clipping empty starts into range would shift real boundaries)
+    ne_idx = np.flatnonzero(np.diff(offs) > 0)
+    ne_starts = offs[:-1][ne_idx]
+    for j in range(num_hashes):
+        h = splitmix64(flat ^ _MINHASH_SEEDS[j])
+        sig[ne_idx, j] = np.minimum.reduceat(h, ne_starts)
+    return sig
 
-    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        ids = np.unique(df["doc_id"].to_numpy())
-        if len(ids) < 2:
-            return pd.DataFrame({"a": pd.Series([], dtype="int64"), "b": pd.Series([], dtype="int64")})
-        ii, jj = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({"a": ids[ii], "b": ids[jj]})
 
-    pairs = exploded.groupby(["band", "bh"]).map_groups(bucket_pairs, batch_format="pandas")
+def band_hash_matrix(sig: np.ndarray, bands: int) -> np.ndarray:
+    """(ndocs, bands) uint64 band bucket hashes from a signature matrix
+    (same per-band mix as the scalar path: xor-fold the band's rows,
+    salt by band id, splitmix)."""
+    ndocs, num_hashes = sig.shape
+    rows = num_hashes // bands
+    bh = np.empty((ndocs, bands), dtype=np.uint64)
+    for b in range(bands):
+        x = np.bitwise_xor.reduce(sig[:, b * rows : (b + 1) * rows], axis=1)
+        bh[:, b] = splitmix64(x ^ np.uint64(b * 1315423911))
+    return bh
 
-    def dedup_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        return df.drop_duplicates()
 
-    # distinct across bands: groupby the pair key
+def _distinct_pairs(pairs_ds, extra: dict[str, str] | None = None):
+    """Distinct (a, b) pairs via an AGGREGATE over the packed pair key —
+    no per-pair ``map_groups`` dispatch (that pattern pays a pandas
+    call per unique pair). ``extra`` maps output column → source column
+    carried through with Min (pair-constant columns only)."""
+    from ray.data.aggregate import Min
+
     def key_stage(batch: pa.Table) -> pa.Table:
         a = batch.column("a").to_numpy(zero_copy_only=False)
         b = batch.column("b").to_numpy(zero_copy_only=False)
         k = (a.astype(np.uint64) << np.uint64(32)) | b.astype(np.uint64)
         return batch.append_column("pk", pa.array(k, pa.uint64()))
 
-    keyed = pairs.map_batches(key_stage, batch_format="pyarrow", zero_copy_batch=True)
-    return keyed.groupby("pk").map_groups(lambda df: df.head(1), batch_format="pandas").drop_columns(["pk"])
+    keyed = pairs_ds.map_batches(key_stage, batch_format="pyarrow", zero_copy_batch=True)
+    aggs = [Min(src, alias_name=out) for out, src in (extra or {}).items()]
+    grouped = keyed.groupby("pk").aggregate(*aggs) if aggs else keyed.groupby("pk").count()
+
+    extra_cols = list((extra or {}).keys())
+
+    def decode(batch: pa.Table) -> pa.Table:
+        pk = batch.column("pk").to_numpy(zero_copy_only=False).astype(np.uint64)
+        cols = {
+            "a": pa.array((pk >> np.uint64(32)).astype(np.int64), pa.int64()),
+            "b": pa.array((pk & np.uint64(0xFFFFFFFF)).astype(np.int64), pa.int64()),
+        }
+        for c in extra_cols:
+            cols[c] = batch.column(c)
+        return pa.table(cols)
+
+    return grouped.map_batches(decode, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def minhash_lsh_candidates(
+    docs_ds,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    bucket_cap: int = 4096,
+    distinct: bool = True,
+):
+    """documents → candidate near-dup pairs via banded MinHash LSH.
+
+    Stages: matrix-form shingle+minhash per batch (vectorized, see
+    :func:`minhash_matrix`) → explode to (band_id, band_hash, doc_id)
+    rows → groupby(band) → per-bucket pairs. The groupby shuffles only
+    (band_hash, doc_id) — the scale path of the guide's near-dup
+    recipe. Returns Dataset (a, b) with a < b, distinct (aggregate
+    dedup, no per-pair dispatch).
+
+    ``bucket_cap`` bounds the per-bucket pair expansion: a bucket of k
+    near-identical docs emits O(k²) pairs, so a hot bucket (mass exact
+    dups) can explode the exchange. Buckets over the cap keep only the
+    pairs linking each doc to the bucket's min id (k-1 pairs — enough
+    to preserve the CONNECTIVITY of the dup cluster for group
+    assignment, see :func:`minhash_dedup_assign`); the truncation is
+    recorded in a ``capped`` column so callers can see it happened.
+    """
+
+    def sig_stage(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        flat, offs = shingle_hashes_batch(texts, shingle_n, unique=False)
+        sig = minhash_matrix(flat, offs, num_hashes)
+        bh = band_hash_matrix(sig, bands)
+        n = len(doc_ids)
+        return pa.table(
+            {
+                "band": pa.array(np.tile(np.arange(bands, dtype=np.int32), n), pa.int32()),
+                "bh": pa.array(bh.reshape(-1), pa.uint64()),
+                "doc_id": pa.array(np.repeat(doc_ids, bands), pa.int64()),
+            }
+        )
+
+    exploded = docs_ds.map_batches(sig_stage, batch_format="pyarrow", zero_copy_batch=True)
+
+    NB = 64  # coarse shuffle buckets — NOT one group per LSH bucket:
+    # groupby((band, bh)) dispatches a pandas call per distinct bucket
+    # (≈ bands × corpus), measured as the dominant cost of this stage;
+    # a coarse hash bucket + one vectorized expansion per coarse group
+    # generates the same pairs with O(NB) dispatches
+
+    def coarse_bucket(batch: pa.Table) -> pa.Table:
+        band = batch.column("band").to_numpy(zero_copy_only=False).astype(np.uint64)
+        bh = batch.column("bh").to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = (splitmix64(bh ^ (band * np.uint64(0x9E3779B97F4A7C15))) % np.uint64(NB)).astype(
+            np.int32
+        )
+        return batch.append_column("bucket", pa.array(b, pa.int32()))
+
+    bucketed = exploded.map_batches(coarse_bucket, batch_format="pyarrow", zero_copy_batch=True)
+
+    def expand(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "a": pd.Series([], dtype="int64"),
+                "b": pd.Series([], dtype="int64"),
+                "capped": pd.Series([], dtype="bool"),
+            }
+        )
+        if len(df) < 2:
+            return empty
+        band = df["band"].to_numpy().astype(np.int64)
+        bh = df["bh"].to_numpy().astype(np.uint64)
+        ids = df["doc_id"].to_numpy().astype(np.int64)
+        order = np.lexsort((ids, bh, band))
+        band, bh, ids = band[order], bh[order], ids[order]
+        newseg = np.empty(len(ids), dtype=bool)
+        newseg[0] = True
+        newseg[1:] = (band[1:] != band[:-1]) | (bh[1:] != bh[:-1])
+        seg_of = np.cumsum(newseg) - 1
+        seg_sizes = np.bincount(seg_of)
+        k = seg_sizes[seg_of]  # segment size at each element
+        seg_starts = np.cumsum(seg_sizes) - seg_sizes
+        local = np.arange(len(ids), dtype=np.int64) - seg_starts[seg_of]
+        over = k > bucket_cap
+        # full triangular expansion below the cap; star expansion
+        # (min id ↔ each other, connectivity preserved) above it
+        reps = np.where(over, np.where(local == 0, k - 1, 0), k - 1 - local)
+        tot = int(reps.sum())
+        if tot == 0:
+            return empty
+        first = np.cumsum(reps) - reps
+        within = np.arange(tot, dtype=np.int64) - np.repeat(first, reps)
+        src = np.repeat(np.arange(len(ids), dtype=np.int64), reps)
+        a = ids[src]
+        b = ids[src + 1 + within]
+        return pd.DataFrame({"a": a, "b": b, "capped": np.repeat(over, reps)})
+
+    pairs = bucketed.groupby("bucket").map_groups(expand, batch_format="pandas")
+    if not distinct:
+        # the distributed verifier dedupes (pk, side) itself — skipping
+        # the aggregate here saves a whole shuffle round
+        return pairs
+    return _distinct_pairs(pairs, extra={"capped": "capped"})
 
 
 def verify_jaccard_pairs(pairs_ds, docs_table: pa.Table, threshold: float, shingle_n: int = 3):
-    """Candidate pairs → exact shingle-Jaccard filter (broadcast texts;
-    at planet scale, join texts by id instead of broadcasting)."""
+    """Candidate pairs → exact shingle-Jaccard filter over a broadcast
+    sketch table (small-corpus path; use
+    :func:`verify_jaccard_pairs_distributed` at scale — same output,
+    no corpus broadcast)."""
     import ray
 
     ids = docs_table.column("doc_id").to_numpy(zero_copy_only=False)
     texts = docs_table.column("text").to_pylist()
-    ref = ray.put({int(i): shingles(t or "", shingle_n) for i, t in zip(ids, texts)})
+    flat, offs = shingle_hashes_batch(texts, shingle_n, unique=True)
+    ref = ray.put(
+        {
+            int(ids[i]): set(flat[offs[i] : offs[i + 1]].tolist())
+            for i in range(len(ids))
+        }
+    )
 
     def fn(batch: pa.Table) -> pa.Table:
         sh = ray.get(ref)
@@ -156,6 +327,340 @@ def verify_jaccard_pairs(pairs_ds, docs_table: pa.Table, threshold: float, shing
         )
 
     return pairs_ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def minhash_dedup_assign(
+    docs_ds,
+    threshold: float = 0.5,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    num_partitions: int = 32,
+):
+    """documents → (doc_id, keep_id): near-dup CLUSTER assignment.
+
+    The linear-output dedup operator a 100 TB pipeline actually runs —
+    the all-pairs surface is inherently quadratic under mass
+    duplication, so:
+
+    1. **exact pre-collapse**: content-hash → groupby → representative
+       = min(doc_id). Identical docs never enter LSH, which also
+       removes the hot-bucket explosion at its source;
+    2. banded MinHash LSH over representatives only, then exact
+       shingle-Jaccard verification via the distributed (no-broadcast)
+       verifier;
+    3. the verified rep-pair edge list — bounded by the near-dup rate
+       over *distinct* texts, orders of magnitude below corpus size —
+       is union-found on the driver; ``keep_id`` = cluster minimum,
+       composed with the exact-dup mapping. (Driver edge collect is the
+       stated scale assumption; a multi-round distributed
+       label-propagation replaces it if near-dup rates are extreme.)
+    """
+    from ray.data.aggregate import Min
+
+    from ..util import effective_num_partitions, tune_shuffle_context
+
+    def hash_stage(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        h = hash64_str([t or "" for t in texts])
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                # int64 view: join/groupby keys stay native Arrow types
+                "text_hash": pa.array(h.view(np.int64), pa.int64()),
+                "text": batch.column("text"),
+            }
+        )
+
+    hashed = docs_ds.map_batches(hash_stage, batch_format="pyarrow", zero_copy_batch=True)
+    reps = hashed.groupby("text_hash").aggregate(Min("doc_id", alias_name="rep"))
+    reps = reps.rename_columns({"text_hash": "th"})
+    tune_shuffle_context()
+    membership = hashed.join(
+        reps,
+        join_type="inner",
+        num_partitions=effective_num_partitions(num_partitions),
+        on=("text_hash",),
+        right_on=("th",),
+    )
+    membership = membership.materialize()
+    rep_docs = membership.filter(
+        expr="doc_id == rep"
+    ).select_columns(["doc_id", "text"])
+    cands = minhash_lsh_candidates(
+        rep_docs, num_hashes=num_hashes, bands=bands, shingle_n=shingle_n, distinct=False
+    )
+    verified = verify_jaccard_pairs_distributed(
+        cands, rep_docs, threshold=threshold, shingle_n=shingle_n
+    )
+    edges = [
+        (int(a), int(b))
+        for df in verified.select_columns(["a", "b"]).iter_batches(
+            batch_size=1 << 18, batch_format="pandas"
+        )
+        for a, b in zip(df["a"].to_numpy(), df["b"].to_numpy())
+    ]
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    root_of = {x: find(x) for x in parent}
+    import ray
+
+    root_ref = ray.put(root_of)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        roots = ray.get(root_ref)
+        doc = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        rep = batch.column("rep").to_numpy(zero_copy_only=False).astype(np.int64)
+        u, inv = np.unique(rep, return_inverse=True)  # dict hits on unique reps only
+        mapped = np.fromiter((roots.get(int(r), int(r)) for r in u), dtype=np.int64, count=len(u))
+        keep = mapped[inv]
+        return pa.table(
+            {"doc_id": pa.array(doc, pa.int64()), "keep_id": pa.array(keep, pa.int64())}
+        )
+
+    return membership.select_columns(["doc_id", "rep"]).map_batches(
+        assign, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def verify_jaccard_pairs_distributed(
+    pairs_ds,
+    docs_ds,
+    threshold: float,
+    shingle_n: int = 3,
+    num_buckets: int = 64,
+    max_filter_ids: int = 4_000_000,
+):
+    """Candidate pairs → exact shingle-Jaccard filter WITHOUT broadcasting
+    the corpus (the scale path; output equals
+    :func:`verify_jaccard_pairs`, property-tested). Accepts
+    non-distinct candidates (pairs repeated across LSH bands) — dedup
+    happens inside the pair-key groupby, so callers can skip a whole
+    distinct-aggregate shuffle.
+
+    Plan (two hash shuffles, everything per-bucket vectorized):
+
+    1. docs → (key=doc_id, sketch) rows; pairs → (key=a, pk, side=0)
+       and (key=b, pk, side=1) rows. Union, bucket by ``hash(key)``,
+       one groupby: each bucket attaches the key's sketch to its pair
+       rows (sorted-ids searchsorted, no per-key dispatch). Sketches
+       cross the wire ONCE each — vs (corpus × workers) for the
+       broadcast.
+    2. bucket by ``pk``, one groupby: each pair's two sketch halves
+       meet; |A∩B| via one lexsort over (pair, value) and an
+       adjacent-duplicate count — exact set Jaccard, zero per-pair
+       Python.
+
+    When the candidate id set is provably small (≤ ``max_filter_ids``),
+    it is broadcast as a sorted array and the corpus is pre-filtered to
+    candidate docs before sketching — only docs that can matter are
+    sketched or shuffled. Beyond that bound the full sketch shuffle
+    runs (the id set would no longer be broadcast-safe).
+    """
+    import ray
+
+    from ..util import splitmix64 as _mix
+
+    SK_TYPE = pa.list_(pa.uint64())
+
+    pairs_ds = pairs_ds.materialize()
+    id_filter_ref = None
+    try:
+        n_pairs = pairs_ds.count()
+    except Exception:
+        n_pairs = None
+    if n_pairs is not None and n_pairs <= max_filter_ids:
+        idset: set[int] = set()
+        for df in pairs_ds.select_columns(["a", "b"]).iter_batches(
+            batch_size=1 << 20, batch_format="pandas"
+        ):
+            idset.update(df["a"].tolist())
+            idset.update(df["b"].tolist())
+        arr = np.fromiter(idset, dtype=np.int64, count=len(idset))
+        arr.sort()
+        id_filter_ref = ray.put(arr)
+
+    def sketch_stage(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        if id_filter_ref is not None:
+            cand = ray.get(id_filter_ref)
+            pos = np.searchsorted(cand, ids)
+            pos_c = np.clip(pos, 0, max(len(cand) - 1, 0))
+            keep = (pos < len(cand)) & (cand[pos_c] == ids) if len(cand) else np.zeros(len(ids), bool)
+            if not keep.all():
+                sel = np.flatnonzero(keep)
+                batch = batch.take(pa.array(sel, pa.int64()))
+                ids = ids[sel]
+        texts = batch.column("text").to_pylist()
+        flat, offs = shingle_hashes_batch(texts, shingle_n, unique=True)
+        return pa.table(
+            {
+                "key": pa.array(ids, pa.int64()),
+                "pk": pa.array(np.zeros(len(ids), dtype=np.uint64), pa.uint64()),
+                "side": pa.array(np.full(len(ids), -1, dtype=np.int8), pa.int8()),
+                "sk": pa.ListArray.from_arrays(
+                    pa.array(offs.astype(np.int32), pa.int32()), pa.array(flat, pa.uint64())
+                ),
+            }
+        )
+
+    def pair_side(batch: pa.Table) -> pa.Table:
+        a = batch.column("a").to_numpy(zero_copy_only=False).astype(np.int64)
+        b = batch.column("b").to_numpy(zero_copy_only=False).astype(np.int64)
+        pk = (a.astype(np.uint64) << np.uint64(32)) | b.astype(np.uint64)
+        key = np.concatenate([a, b])
+        pk2 = np.concatenate([pk, pk])
+        side = np.concatenate(
+            [np.zeros(len(a), dtype=np.int8), np.ones(len(b), dtype=np.int8)]
+        )
+        n2 = len(key)
+        empty_offs = pa.array(np.zeros(n2 + 1, dtype=np.int32), pa.int32())
+        return pa.table(
+            {
+                "key": pa.array(key, pa.int64()),
+                "pk": pa.array(pk2, pa.uint64()),
+                "side": pa.array(side, pa.int8()),
+                "sk": pa.ListArray.from_arrays(empty_offs, pa.array([], pa.uint64())),
+            }
+        )
+
+    docs_rows = docs_ds.map_batches(sketch_stage, batch_format="pyarrow", zero_copy_batch=True)
+    pair_rows = pairs_ds.map_batches(pair_side, batch_format="pyarrow", zero_copy_batch=True)
+    unioned = docs_rows.union(pair_rows)
+
+    def add_key_bucket(batch: pa.Table) -> pa.Table:
+        k = batch.column("key").to_numpy(zero_copy_only=False).astype(np.int64)
+        b = (_mix(k.view(np.uint64)) % np.uint64(num_buckets)).astype(np.int32)
+        return batch.append_column("bucket", pa.array(b, pa.int32()))
+
+    bucketed = unioned.map_batches(add_key_bucket, batch_format="pyarrow", zero_copy_batch=True)
+
+    HALF_SCHEMA = pa.schema(
+        [
+            pa.field("pk", pa.uint64()),
+            pa.field("side", pa.int8()),
+            pa.field("sk", SK_TYPE),
+        ]
+    )
+
+    def attach(df: pd.DataFrame) -> pa.Table:
+        side = df["side"].to_numpy(dtype=np.int8)
+        is_doc = side < 0
+        keys = df["key"].to_numpy(dtype=np.int64)
+        doc_keys = keys[is_doc]
+        doc_sk = df["sk"].to_numpy()[is_doc]  # object array of np arrays
+        order = np.argsort(doc_keys, kind="stable")
+        doc_keys = doc_keys[order]
+        doc_sk = doc_sk[order]
+        pmask = ~is_doc
+        pkeys = keys[pmask]
+        ppk = df["pk"].to_numpy()[pmask].astype(np.uint64)
+        pside = side[pmask]
+        if len(ppk) == 0:
+            return HALF_SCHEMA.empty_table()
+        # dedupe (pk, side): candidates repeat across LSH bands
+        so = np.lexsort((pside, ppk))
+        firsts = np.empty(len(so), dtype=bool)
+        firsts[0] = True
+        firsts[1:] = (ppk[so][1:] != ppk[so][:-1]) | (pside[so][1:] != pside[so][:-1])
+        sel = so[firsts]
+        pkeys, ppk, pside = pkeys[sel], ppk[sel], pside[sel]
+        pos = np.searchsorted(doc_keys, pkeys)
+        pos_c = np.clip(pos, 0, max(len(doc_keys) - 1, 0))
+        hit = (
+            (pos < len(doc_keys)) & (doc_keys[pos_c] == pkeys)
+            if len(doc_keys)
+            else np.zeros(len(pkeys), dtype=bool)
+        )
+        empty = np.empty(0, dtype=np.uint64)
+        sk_out = [
+            (np.asarray(doc_sk[pos_c[i]], dtype=np.uint64) if hit[i] else empty)
+            for i in range(len(ppk))
+        ]
+        return pa.table(
+            {
+                "pk": pa.array(ppk, pa.uint64()),
+                "side": pa.array(pside, pa.int8()),
+                "sk": pa.array(sk_out, SK_TYPE),
+            }
+        ).cast(HALF_SCHEMA)
+
+    halves = bucketed.groupby("bucket").map_groups(attach, batch_format="pandas")
+
+    def add_pk_bucket(batch: pa.Table) -> pa.Table:
+        pk = batch.column("pk").to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = (_mix(pk) % np.uint64(num_buckets)).astype(np.int32)
+        return batch.append_column("bucket", pa.array(b, pa.int32()))
+
+    halved = halves.map_batches(add_pk_bucket, batch_format="pyarrow", zero_copy_batch=True)
+
+    OUT_SCHEMA = pa.schema(
+        [
+            pa.field("a", pa.int64()),
+            pa.field("b", pa.int64()),
+            pa.field("jaccard", pa.float64()),
+        ]
+    )
+
+    def join_halves(df: pd.DataFrame) -> pa.Table:
+        pk = df["pk"].to_numpy().astype(np.uint64)
+        if len(pk) == 0:
+            return OUT_SCHEMA.empty_table()
+        side = df["side"].to_numpy(dtype=np.int8)
+        sk = df["sk"].to_numpy()  # object array of np arrays
+        # dedupe (pk, side) again: band duplicates may have attached in
+        # DIFFERENT key buckets, so the first dedupe can't see them all
+        so = np.lexsort((side, pk))
+        firsts = np.empty(len(so), dtype=bool)
+        firsts[0] = True
+        firsts[1:] = (pk[so][1:] != pk[so][:-1]) | (side[so][1:] != side[so][:-1])
+        order = so[firsts]
+        pk_s = pk[order]
+        new = np.empty(len(pk_s), dtype=bool)
+        new[0] = True
+        new[1:] = pk_s[1:] != pk_s[:-1]
+        grp_of = np.cumsum(new) - 1
+        npairs = int(grp_of[-1]) + 1
+        lens = np.fromiter((len(sk[i]) for i in order), dtype=np.int64, count=len(pk_s))
+        flat = (
+            np.concatenate([np.asarray(sk[i], dtype=np.uint64) for i in order])
+            if lens.sum()
+            else np.empty(0, dtype=np.uint64)
+        )
+        seg_of = np.repeat(grp_of, lens)
+        sizes = np.bincount(grp_of, weights=lens, minlength=npairs).astype(np.int64)
+        inter = np.zeros(npairs, dtype=np.int64)
+        if len(flat):
+            so2 = np.lexsort((flat, seg_of))
+            fs, ss = flat[so2], seg_of[so2]
+            dup = (fs[1:] == fs[:-1]) & (ss[1:] == ss[:-1])
+            inter = np.bincount(ss[1:][dup], minlength=npairs).astype(np.int64)
+        union = sizes - inter
+        jac = np.where(union > 0, inter / np.maximum(union, 1), 0.0)
+        upk = pk_s[new]
+        keep = jac >= threshold
+        return pa.table(
+            {
+                "a": pa.array((upk[keep] >> np.uint64(32)).astype(np.int64), pa.int64()),
+                "b": pa.array((upk[keep] & np.uint64(0xFFFFFFFF)).astype(np.int64), pa.int64()),
+                "jaccard": pa.array(jac[keep], pa.float64()),
+            }
+        ).cast(OUT_SCHEMA)
+
+    return halved.groupby("bucket").map_groups(join_halves, batch_format="pandas")
 
 
 # --------------------------------------------------------------------------
@@ -213,20 +718,30 @@ def ngram_jaccard_pairs(docs_ds, docs_table: pa.Table, threshold: float = 0.5):
 
 
 def simhash_batch(df: pd.DataFrame) -> pd.DataFrame:
-    """doc_id, simhash (uint64) — 64-bit SimHash over word hashes."""
+    """doc_id, simhash (uint64) — 64-bit SimHash over word hashes.
+
+    Vectorized over the whole batch: one FNV pass over every word, one
+    (words × 64) bit expansion, per-doc vote sums via reduceat, direct
+    bit packing — replaces the per-doc loop + binary-string build
+    (same outputs, unit-tested)."""
     out = np.zeros(len(df), dtype=np.uint64)
-    for i, t in enumerate(df["text"].fillna("")):
-        words = _WS.split(t.strip()) if t.strip() else []
-        if not words:
-            continue
-        hs = hash64_str(words)
+    texts = df["text"].fillna("")
+    words_per_doc = [(_WS.split(t.strip()) if t.strip() else []) for t in texts]
+    counts = np.fromiter((len(w) for w in words_per_doc), dtype=np.int64, count=len(df))
+    flat_words = [w for ws in words_per_doc for w in ws]
+    if flat_words:
+        hs = hash64_str(flat_words)
         bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(
-            np.int64
+            np.int8
         )
-        votes = (2 * bits - 1).sum(axis=0)
-        out[i] = np.uint64(
-            int("".join("1" if v > 0 else "0" for v in votes[::-1]), 2)
+        signed = (2 * bits - 1).astype(np.int32)
+        ne = np.flatnonzero(counts > 0)
+        starts = (np.cumsum(counts) - counts)[ne]
+        votes = np.add.reduceat(signed, starts, axis=0)  # (ne_docs, 64)
+        packed = ((votes > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)[None, :]).sum(
+            axis=1, dtype=np.uint64
         )
+        out[ne] = packed
     return pd.DataFrame({"doc_id": df["doc_id"], "simhash": out})
 
 
@@ -259,36 +774,61 @@ def simhash_near_pairs(docs_ds, max_hamming: int = 3):
 
     exploded = sigs.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
 
-    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        d = df.drop_duplicates("doc_id")
-        ids = d["doc_id"].to_numpy()
-        hs = d["simhash"].to_numpy().astype(np.uint64)
-        if len(ids) < 2:
-            return pd.DataFrame(
-                {"a": pd.Series([], dtype="int64"), "b": pd.Series([], dtype="int64"),
-                 "hamming": pd.Series([], dtype="int64")}
-            )
-        ii, jj = np.triu_indices(len(ids), k=1)
-        x = hs[ii] ^ hs[jj]
+    NB = 64  # coarse buckets — one vectorized expansion per coarse
+    # group instead of a pandas dispatch per (chunk_id, chunk) bucket
+
+    def coarse_bucket(batch: pa.Table) -> pa.Table:
+        cid = batch.column("chunk_id").to_numpy(zero_copy_only=False).astype(np.uint64)
+        ch = batch.column("chunk").to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = (splitmix64(ch ^ (cid * np.uint64(0x9E3779B97F4A7C15))) % np.uint64(NB)).astype(
+            np.int32
+        )
+        return batch.append_column("bucket", pa.array(b, pa.int32()))
+
+    bucketed = exploded.map_batches(coarse_bucket, batch_format="pyarrow", zero_copy_batch=True)
+
+    def expand(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "a": pd.Series([], dtype="int64"),
+                "b": pd.Series([], dtype="int64"),
+                "hamming": pd.Series([], dtype="int64"),
+            }
+        )
+        if len(df) < 2:
+            return empty
+        cid = df["chunk_id"].to_numpy().astype(np.int64)
+        ch = df["chunk"].to_numpy().astype(np.uint64)
+        ids = df["doc_id"].to_numpy().astype(np.int64)
+        hs = df["simhash"].to_numpy().astype(np.uint64)
+        order = np.lexsort((ids, ch, cid))
+        cid, ch, ids, hs = cid[order], ch[order], ids[order], hs[order]
+        newseg = np.empty(len(ids), dtype=bool)
+        newseg[0] = True
+        newseg[1:] = (cid[1:] != cid[:-1]) | (ch[1:] != ch[:-1])
+        seg_of = np.cumsum(newseg) - 1
+        seg_sizes = np.bincount(seg_of)
+        k = seg_sizes[seg_of]
+        seg_starts = np.cumsum(seg_sizes) - seg_sizes
+        local = np.arange(len(ids), dtype=np.int64) - seg_starts[seg_of]
+        reps = k - 1 - local
+        tot = int(reps.sum())
+        if tot == 0:
+            return empty
+        first = np.cumsum(reps) - reps
+        within = np.arange(tot, dtype=np.int64) - np.repeat(first, reps)
+        src = np.repeat(np.arange(len(ids), dtype=np.int64), reps)
+        dst = src + 1 + within
+        x = hs[src] ^ hs[dst]
         ham = np.zeros(len(x), dtype=np.int64)
         for _ in range(64):
             ham += (x & np.uint64(1)).astype(np.int64)
             x >>= np.uint64(1)
         keep = ham <= max_hamming
-        a, b = ids[ii][keep], ids[jj][keep]
-        lo, hi = np.minimum(a, b), np.maximum(a, b)
-        return pd.DataFrame({"a": lo, "b": hi, "hamming": ham[keep]})
+        return pd.DataFrame({"a": ids[src][keep], "b": ids[dst][keep], "hamming": ham[keep]})
 
-    pairs = exploded.groupby(["chunk_id", "chunk"]).map_groups(bucket_pairs, batch_format="pandas")
-
-    def key_stage(batch: pa.Table) -> pa.Table:
-        a = batch.column("a").to_numpy(zero_copy_only=False)
-        b = batch.column("b").to_numpy(zero_copy_only=False)
-        k = (a.astype(np.uint64) << np.uint64(32)) | b.astype(np.uint64)
-        return batch.append_column("pk", pa.array(k, pa.uint64()))
-
-    keyed = pairs.map_batches(key_stage, batch_format="pyarrow", zero_copy_batch=True)
-    return keyed.groupby("pk").map_groups(lambda df: df.head(1), batch_format="pandas").drop_columns(["pk"])
+    pairs = bucketed.groupby("bucket").map_groups(expand, batch_format="pandas")
+    return _distinct_pairs(pairs, extra={"hamming": "hamming"})
 
 
 # --------------------------------------------------------------------------

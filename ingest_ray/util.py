@@ -63,15 +63,40 @@ def hash64_str(arr) -> np.ndarray:
 
     Used for content hashes (exact dedup) and salt derivation. Stable
     across processes (unlike Python's ``hash``).
+
+    Vectorized across strings: one numpy pass per byte POSITION over
+    the still-active strings (total work stays O(total bytes) but the
+    inner loop is C, not a per-byte Python loop — the scalar form was
+    the hot spot of exact dedup / simhash / shingling). Byte-identical
+    to the scalar FNV-1a (unit-tested).
     """
-    out = np.empty(len(arr), dtype=np.uint64)
-    fnv_offset = 0xCBF29CE484222325
-    fnv_prime = 0x100000001B3
-    for i, s in enumerate(arr):
-        h = fnv_offset
-        for b in s.encode("utf-8", "surrogatepass"):
-            h = ((h ^ b) * fnv_prime) & U64_MASK
-        out[i] = h
+    n = len(arr)
+    out = np.full(n, np.uint64(0xCBF29CE484222325))
+    if n == 0:
+        return out
+    data = [s.encode("utf-8", "surrogatepass") for s in arr]
+    lens = np.fromiter((len(b) for b in data), dtype=np.int64, count=n)
+    max_len = int(lens.max())
+    if max_len == 0:
+        return out
+    flat = np.frombuffer(b"".join(data), dtype=np.uint8)
+    starts = np.cumsum(lens) - lens
+    prime = np.uint64(0x100000001B3)
+    # iterate positions over strings sorted by length: after sorting,
+    # the active set at position p is a PREFIX slice — no boolean mask
+    # re-evaluation per iteration
+    order = np.argsort(-lens, kind="stable")
+    s_starts = starts[order]
+    s_lens = lens[order]
+    h = out[order].copy()
+    with np.errstate(over="ignore"):
+        for p in range(max_len):
+            k = int(np.searchsorted(-s_lens, -p, side="left"))  # len > p
+            if k == 0:
+                break
+            idx = s_starts[:k] + p
+            h[:k] = (h[:k] ^ flat[idx]) * prime
+    out[order] = h
     return out
 
 

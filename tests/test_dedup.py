@@ -1,0 +1,157 @@
+"""Dedup family conformance: vectorized kernels vs scalar semantics,
+distributed verify vs broadcast verify, cluster assignment invariants."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    rng = np.random.default_rng(5)
+    words = [f"w{i}" for i in range(50)]
+    texts, ids = [], []
+    did = 0
+    for i in range(60):
+        base = " ".join(rng.choice(words, size=rng.integers(8, 30)))
+        texts.append(base)
+        ids.append(did)
+        did += 1
+        if i % 4 == 0:  # exact duplicates
+            for _ in range(int(rng.integers(1, 4))):
+                texts.append(base)
+                ids.append(did)
+                did += 1
+        if i % 5 == 0:  # near duplicate (drop last word)
+            texts.append(" ".join(base.split()[:-1]))
+            ids.append(did)
+            did += 1
+    return pa.table({"doc_id": pa.array(ids, pa.int64()), "text": pa.array(texts, pa.string())})
+
+
+def test_hash64_str_matches_scalar_fnv():
+    from ingest_ray.util import U64_MASK, hash64_str
+
+    cases = ["", "a", "hello world", "ü" * 5, "éxyz", "x" * 300]
+
+    def ref(s):
+        h = 0xCBF29CE484222325
+        for b in s.encode("utf-8", "surrogatepass"):
+            h = ((h ^ b) * 0x100000001B3) & U64_MASK
+        return h
+
+    got = hash64_str(cases)
+    assert [int(g) for g in got] == [ref(s) for s in cases]
+
+
+def test_simhash_vectorized_matches_scalar(corpus):
+    from ingest_ray.functions.dedup import simhash_batch
+    from ingest_ray.functions.text import _WS
+    from ingest_ray.util import hash64_str
+
+    df = corpus.to_pandas()
+    got = simhash_batch(df)["simhash"].to_numpy()
+    for i, t in enumerate(df["text"].fillna("")):
+        ws = _WS.split(t.strip()) if t.strip() else []
+        if not ws:
+            assert got[i] == 0
+            continue
+        hs = hash64_str(ws)
+        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int64)
+        votes = (2 * bits - 1).sum(axis=0)
+        want = int("".join("1" if v > 0 else "0" for v in votes[::-1]), 2)
+        assert int(got[i]) == want
+
+
+def test_minhash_matrix_matches_scalar(corpus):
+    from ingest_ray.functions.dedup import (
+        _MINHASH_SEEDS,
+        minhash_matrix,
+        shingle_hashes_batch,
+    )
+    from ingest_ray.util import splitmix64
+
+    texts = corpus.column("text").to_pylist()
+    flat, offs = shingle_hashes_batch(texts, 3, unique=False)
+    sig = minhash_matrix(flat, offs, 32)
+    for i in (0, 1, 7, len(texts) - 1):
+        seg = flat[offs[i] : offs[i + 1]]
+        for j in (0, 5, 31):
+            want = (
+                int(splitmix64(seg ^ _MINHASH_SEEDS[j]).min())
+                if len(seg)
+                else 0xFFFFFFFFFFFFFFFF
+            )
+            assert int(sig[i, j]) == want
+
+
+def test_shingle_hashes_unique_are_sets(corpus):
+    from ingest_ray.functions.dedup import shingle_hashes_batch
+
+    texts = corpus.column("text").to_pylist()
+    flat, offs = shingle_hashes_batch(texts, 3, unique=True)
+    for i in range(len(texts)):
+        seg = flat[offs[i] : offs[i + 1]]
+        assert len(np.unique(seg)) == len(seg)
+
+
+def test_distributed_verify_equals_broadcast(ray_session, corpus):
+    import ray.data as rd
+
+    from ingest_ray.functions.dedup import (
+        minhash_lsh_candidates,
+        verify_jaccard_pairs,
+        verify_jaccard_pairs_distributed,
+    )
+
+    docs = rd.from_arrow(corpus)
+    cands = minhash_lsh_candidates(docs, num_hashes=64, bands=16).materialize()
+    vb = (
+        verify_jaccard_pairs(cands, corpus, threshold=0.5)
+        .to_pandas()
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+    vd = (
+        verify_jaccard_pairs_distributed(cands, docs, threshold=0.5)
+        .to_pandas()
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+    assert vb[["a", "b"]].equals(vd[["a", "b"]])
+    assert np.allclose(vb["jaccard"], vd["jaccard"])
+    assert len(vb) > 0
+
+
+def test_dedup_assign_invariants(ray_session, corpus):
+    import ray.data as rd
+
+    from ingest_ray.functions.dedup import (
+        minhash_dedup_assign,
+        minhash_lsh_candidates,
+        verify_jaccard_pairs,
+    )
+
+    docs = rd.from_arrow(corpus)
+    assign = minhash_dedup_assign(docs, threshold=0.5).to_pandas()
+    m = dict(zip(assign["doc_id"], assign["keep_id"]))
+    ids = corpus.column("doc_id").to_pylist()
+    texts = corpus.column("text").to_pylist()
+    assert set(m) == set(ids)  # every doc assigned
+    by_text = {}
+    for i, t in zip(ids, texts):
+        by_text.setdefault(t, []).append(i)
+    for group in by_text.values():  # exact dups share a cluster
+        assert len({m[g] for g in group}) == 1
+    # keep_id is a real doc id and the min of its own cluster
+    clusters = {}
+    for d, k in m.items():
+        clusters.setdefault(k, []).append(d)
+    for k, members in clusters.items():
+        assert k == min(members)
+    # verified near-dup pairs are co-clustered
+    cands = minhash_lsh_candidates(docs, num_hashes=64, bands=16)
+    vb = verify_jaccard_pairs(cands, corpus, threshold=0.5).to_pandas()
+    for a, b in zip(vb["a"], vb["b"]):
+        assert m[a] == m[b]
