@@ -378,17 +378,19 @@ def q_tiles_aggregated_synth(sf_dir: str):
 
 
 def q_changeset_golden(sf_dir: str):
-    """Incremental update round (the reference's pinned changeset0):
-    create/modify/delete + dependency propagation, patched store ==
-    fresh ingest of the updated corpus."""
+    """Incremental update rounds 0-3 (the reference's pinned o5c
+    replication loop, tests/ingest.rs:90-400): create/modify/delete
+    with one- and two-hop dependency propagation, chained through the
+    updated element tables. Returns the final store — the pytest twin
+    additionally asserts byte equality with a fresh ingest per round."""
     import ray.data as rd
 
     from ingest_ray.changeset import apply_changeset, merge_features
     from ingest_ray.config import EngineConfig
     from ingest_ray.pipeline import ingest_features
     from ingest_ray.synth import golden_documents
-
-    changes = [
+    from ingest_ray.changeset import GOLDEN_ROUND1, GOLDEN_ROUND2, GOLDEN_ROUND3
+    CHANGES0 = [
         {"op": "modify", "kind": "node", "element": {"id": 2000, "lon": 13.03, "lat": 37.04, "tags": [("highway", "bus_stop")]}},
         {"op": "modify", "kind": "node", "element": {"id": 9000, "lon": 4.999, "lat": -9.999, "tags": []}},
         {"op": "delete", "kind": "node", "element": {"id": 9003}},
@@ -396,16 +398,23 @@ def q_changeset_golden(sf_dir: str):
         {"op": "delete", "kind": "way", "element": {"id": 555}},
         {"op": "modify", "kind": "way", "element": {"id": 600, "refs": [9000, 9001, 9002, 9007, 9000], "tags": []}},
     ]
+
     docs = rd.from_arrow(golden_documents())
     cfg = EngineConfig(join_mode="broadcast")
-    old = pa.concat_tables(
+    out = pa.concat_tables(
         list(ingest_features(docs, cfg).iter_batches(batch_format="pyarrow", batch_size=1 << 20))
     )
-    delta, removed, _ = apply_changeset(docs, changes, cfg)
-    delta_t = pa.concat_tables(
-        list(delta.iter_batches(batch_format="pyarrow", batch_size=1 << 20))
-    )
-    out = merge_features(old, delta_t, removed)
+    state = None
+    for changes in (CHANGES0, GOLDEN_ROUND1, GOLDEN_ROUND2, GOLDEN_ROUND3):
+        delta, removed, state = apply_changeset(docs, changes, cfg, element_tables=state)
+        delta_t = (
+            pa.concat_tables(
+                list(delta.iter_batches(batch_format="pyarrow", batch_size=1 << 20))
+            )
+            if delta is not None
+            else out.schema.empty_table()
+        )
+        out = merge_features(out, delta_t, removed)
     return out.select(["key", "ftype", "kind", "minx", "miny", "maxx", "maxy"])
 
 

@@ -117,7 +117,12 @@ def _scan_ids_with_member(ds, list_col: str, target_ids: np.ndarray, member_fiel
     return np.unique(pa.concat_tables(parts).column("id").to_numpy(zero_copy_only=False))
 
 
-def apply_changeset(documents_ds, changes: list[dict], config: EngineConfig | None = None):
+def apply_changeset(
+    documents_ds,
+    changes: list[dict],
+    config: EngineConfig | None = None,
+    element_tables: dict | None = None,
+):
     """Apply a changeset to a document corpus → (delta features Dataset,
     removed feature keys ndarray, updated element datasets).
 
@@ -127,14 +132,24 @@ def apply_changeset(documents_ds, changes: list[dict], config: EngineConfig | No
     ingest of the updated corpus would produce for the affected
     elements; ``removed`` lists every feature key whose old version
     must leave the store (deleted AND re-encoded elements).
-    """
-    from .elements import elements_all_dataset, kind_view
 
+    ``element_tables`` (the ``upd`` dict of a previous call) chains
+    successive changesets without re-parsing documents — the
+    reference's multi-round o5c replication loop
+    (/root/reference/tests/ingest.rs:90-400, rounds 0-3).
+    """
     cfg = config or EngineConfig()
-    all_el = elements_all_dataset(documents_ds).materialize()
-    base_nodes = kind_view(all_el, "node")
-    base_ways = kind_view(all_el, "way")
-    base_rels = kind_view(all_el, "relation")
+    if element_tables is not None:
+        base_nodes = element_tables["node"]
+        base_ways = element_tables["way"]
+        base_rels = element_tables["relation"]
+    else:
+        from .elements import elements_all_dataset, kind_view
+
+        all_el = elements_all_dataset(documents_ds).materialize()
+        base_nodes = kind_view(all_el, "node")
+        base_ways = kind_view(all_el, "way")
+        base_rels = kind_view(all_el, "relation")
 
     # 1. updated element tables: drop modify+delete ids, append create+modify rows
     upd = {}
@@ -227,3 +242,66 @@ def merge_features(old_features: pa.Table, delta: pa.Table, removed_keys: np.nda
     if len(delta) == 0:
         return kept
     return pa.concat_tables([kept, delta.cast(old_features.schema)])
+
+# --------------------------------------------------------------------------
+# The reference's pinned changeset rounds 1-3
+# (/root/reference/tests/data/0/changeset{1,2,3}.xml; spec commented at
+# tests/ingest.rs:150-400) in parsed-element form. Round 0 lives with
+# the golden test (tests/test_changeset.py CHANGES0).
+# --------------------------------------------------------------------------
+
+GOLDEN_ROUND1 = [
+    {"op": "create", "kind": "node", "element": {"id": 9100, "lon": 5.004, "lat": -10.006, "tags": []}},
+    {"op": "create", "kind": "node", "element": {"id": 9101, "lon": 5.005, "lat": -10.006, "tags": []}},
+    {"op": "create", "kind": "node", "element": {"id": 9102, "lon": 5.005, "lat": -10.007, "tags": []}},
+    {"op": "create", "kind": "node", "element": {"id": 9103, "lon": 5.004, "lat": -10.007, "tags": []}},
+    {"op": "create", "kind": "way", "element": {"id": 602, "refs": [9100, 9101, 9102, 9103, 9100], "tags": [("place", "island")]}},
+    {
+        "op": "modify",
+        "kind": "relation",
+        "element": {
+            "id": 700,
+            "members": [
+                {"mtype": "way", "role": "outer", "ref": 600},
+                {"mtype": "way", "role": "inner", "ref": 601},
+                {"mtype": "way", "role": "inner", "ref": 602},
+            ],
+            "tags": [("type", "multipolygon"), ("natural", "water"), ("name", "Cool Lake")],
+        },
+    },
+]
+
+GOLDEN_ROUND2 = [
+    {"op": "delete", "kind": "node", "element": {"id": 9103}},
+    {"op": "create", "kind": "node", "element": {"id": 9104, "lon": 5.003, "lat": -10.008, "tags": [("amenity", "boat_rental")]}},
+    {"op": "modify", "kind": "way", "element": {"id": 602, "refs": [9100, 9101, 9102, 9104, 9100], "tags": [("place", "island")]}},
+]
+
+GOLDEN_ROUND3 = [
+    {"op": "create", "kind": "node", "element": {"id": 3001, "lon": 7.000, "lat": 15.000, "tags": []}},
+    {"op": "create", "kind": "node", "element": {"id": 3002, "lon": 7.010, "lat": 15.010, "tags": []}},
+    {"op": "create", "kind": "node", "element": {"id": 3003, "lon": 7.000, "lat": 15.020, "tags": []}},
+    {"op": "create", "kind": "node", "element": {"id": 3011, "lon": 7.002, "lat": 15.002, "tags": []}},
+    {"op": "create", "kind": "node", "element": {"id": 3012, "lon": 7.008, "lat": 15.010, "tags": []}},
+    {"op": "create", "kind": "node", "element": {"id": 3013, "lon": 7.002, "lat": 15.018, "tags": []}},
+    {"op": "create", "kind": "node", "element": {"id": 3021, "lon": 6.998, "lat": 14.998, "tags": []}},
+    {"op": "create", "kind": "node", "element": {"id": 3022, "lon": 7.012, "lat": 15.010, "tags": []}},
+    {"op": "create", "kind": "node", "element": {"id": 3023, "lon": 6.998, "lat": 15.022, "tags": []}},
+    {"op": "create", "kind": "way", "element": {"id": 4000, "refs": [3001, 3002], "tags": []}},
+    {"op": "create", "kind": "way", "element": {"id": 4001, "refs": [3003, 3001], "tags": []}},
+    {"op": "create", "kind": "way", "element": {"id": 4002, "refs": [3011, 3012, 3013, 3011], "tags": []}},
+    {"op": "create", "kind": "way", "element": {"id": 4003, "refs": [3021, 3022, 3023], "tags": [("historic", "castle_wall")]}},
+    {
+        "op": "create",
+        "kind": "relation",
+        "element": {
+            "id": 4004,
+            "members": [
+                {"mtype": "way", "role": "outer", "ref": 4000},
+                {"mtype": "way", "role": "outer", "ref": 4001},
+                {"mtype": "way", "role": "inner", "ref": 4002},
+            ],
+            "tags": [("type", "multipolygon"), ("historic", "castle")],
+        },
+    },
+]

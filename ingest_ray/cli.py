@@ -90,6 +90,11 @@ def cmd_optimize(args) -> int:
 
 def cmd_stats(args) -> int:
     mdir = os.path.join(args.output, "manifest")
+    if not os.path.isdir(mdir):
+        # same JSON-line error contract as the other subcommands —
+        # not a bare traceback (e.g. stats before optimize, typoed path)
+        print(json.dumps({"error": f"no manifest directory at {mdir}"}))
+        return 1
     tiles = rows = cells = 0
     wall = 0.0
     for name in sorted(os.listdir(mdir)):

@@ -482,10 +482,25 @@ def _on_segment(p, q, r):
 
 
 def _intersects(p1, q1, p2, q2):
-    o1 = _sign(_area(p1, q1, p2))
-    o2 = _sign(_area(p1, q1, q2))
-    o3 = _sign(_area(p2, q2, p1))
-    o4 = _sign(_area(p2, q2, q1))
+    # hot path of the split/cure fallback passes: _area/_sign inlined
+    # (identical arithmetic and short-circuit order — same results,
+    # ~4x fewer Python frames per call)
+    p1x = p1.x
+    p1y = p1.y
+    q1x = q1.x
+    q1y = q1.y
+    p2x = p2.x
+    p2y = p2.y
+    q2x = q2.x
+    q2y = q2.y
+    a1 = (q1y - p1y) * (p2x - q1x) - (q1x - p1x) * (p2y - q1y)
+    a2 = (q1y - p1y) * (q2x - q1x) - (q1x - p1x) * (q2y - q1y)
+    a3 = (q2y - p2y) * (p1x - q2x) - (q2x - p2x) * (p1y - q2y)
+    a4 = (q2y - p2y) * (q1x - q2x) - (q2x - p2x) * (q1y - q2y)
+    o1 = (a1 > 0) - (a1 < 0)
+    o2 = (a2 > 0) - (a2 < 0)
+    o3 = (a3 > 0) - (a3 < 0)
+    o4 = (a4 > 0) - (a4 < 0)
     if o1 != o2 and o3 != o4:
         return True
     if o1 == 0 and _on_segment(p1, p2, q1):
@@ -500,17 +515,20 @@ def _intersects(p1, q1, p2, q2):
 
 
 def _intersects_polygon(a, b):
+    ai = a.i
+    bi = b.i
     p = a
     while True:
+        pn = p.next
         if (
-            p.i != a.i
-            and p.next.i != a.i
-            and p.i != b.i
-            and p.next.i != b.i
-            and _intersects(p, p.next, a, b)
+            p.i != ai
+            and pn.i != ai
+            and p.i != bi
+            and pn.i != bi
+            and _intersects(p, pn, a, b)
         ):
             return True
-        p = p.next
+        p = pn
         if p is a:
             break
     return False

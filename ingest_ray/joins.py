@@ -627,6 +627,191 @@ def resolve_ways(
     )
 
 
+def resolve_ways_and_relations(
+    prepared_ways,
+    prepared_relations,
+    ways_ds,
+    nodes_ds,
+    num_partitions: int = 32,
+    num_buckets: int | None = None,
+    member_filter_limit: int = 16_000_000,
+):
+    """Shuffle-mode resolution of BOTH branches with ONE node exchange.
+
+    The way branch and the relation second hop each hash-join against
+    the full node table — the two largest exchanges of the planet-scale
+    path (measured 15s + 15s of the 75s pipeline at 30M elements / 32
+    CPUs). This fused plan:
+
+    1. pushes the member-way filter down: the bare way table is
+       restricted to ids actually referenced by prepared relations
+       (the J6 way-offset pushdown, /root/reference/src/denorm.rs:409-421)
+       BEFORE the ref explode — hop 1's probe side shrinks by
+       ways : member-ways (54M → ~10M rows here). The member id set is
+       broadcast as a sorted array while it is provably small
+       (≤ ``member_filter_limit``); beyond that the filter is skipped
+       (correct either way).
+    2. unions the way-branch exploded refs with the relation hop-1
+       output (schema-aligned, ``src``-tagged) and resolves
+       coordinates in a SINGLE hash join against the node table
+       (J2/J8 — one node exchange instead of two);
+    3. splits by tag (cheap block filters over the materialized join
+       output) and regroups each side exactly as the standalone paths
+       do — downstream encoders see identical schemas (differential-
+       tested against the unfused plan).
+
+    Returns (resolved_ways_ds, resolved_relations_ds).
+    """
+    import pyarrow.compute as pc
+
+    num_buckets = num_buckets or num_partitions
+    tune_shuffle_context()
+    npart = effective_num_partitions(num_partitions)
+
+    members = prepared_relations.map_batches(
+        explode_members_with_meta, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
+    # member-way pushdown (J6): collect the distinct member way ids
+    member_ids: set[int] = set()
+    small = True
+    for t in members.select_columns(["way_id"]).iter_batches(
+        batch_size=1 << 20, batch_format="pyarrow"
+    ):
+        member_ids.update(t.column("way_id").to_numpy(zero_copy_only=False).tolist())
+        if len(member_ids) > member_filter_limit:
+            small = False
+            break
+    way_src = ways_ds.select_columns(["id", "refs"])
+    if small:
+        arr = np.fromiter(member_ids, dtype=np.int64, count=len(member_ids))
+        arr.sort()
+        filt_ref = ray.put(arr)
+
+        def keep_member_ways(batch: pa.Table) -> pa.Table:
+            cand = ray.get(filt_ref)
+            ids = batch.column("id").to_numpy(zero_copy_only=False).astype(np.int64)
+            pos = np.searchsorted(cand, ids)
+            pos_c = np.clip(pos, 0, max(len(cand) - 1, 0))
+            keep = (pos < len(cand)) & (cand[pos_c] == ids) if len(cand) else np.zeros(len(ids), bool)
+            return batch.take(pa.array(np.flatnonzero(keep), pa.int64()))
+
+        way_src = way_src.map_batches(
+            keep_member_ways, batch_format="pyarrow", zero_copy_batch=True
+        )
+    way_refs = way_src.map_batches(
+        explode_bare_way_refs, batch_format="pyarrow", zero_copy_batch=True
+    )
+    hop1 = members.join(
+        way_refs,
+        join_type="left_outer",
+        num_partitions=npart,
+        on=("way_id",),
+        right_on=("wid",),
+    )
+
+    def align_rel(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        pos = _np(batch.column("pos"))
+        if pos.dtype.kind == "f":
+            pos = np.where(np.isnan(pos), 0, pos)
+        pos64 = pos.astype(np.int64)
+        mpos = _np(batch.column("mpos")).astype(np.int64)
+        okey = (mpos << 32) | pos64
+        return pa.table(
+            {
+                "node_id": batch.column("node_id"),
+                "way_id": batch.column("way_id"),
+                "src": pa.array(np.ones(n, dtype=np.int8), pa.int8()),
+                "pos": pa.nulls(n, pa.int32()),
+                "is_area": pa.nulls(n, pa.bool_()),
+                "rel_id": batch.column("rel_id"),
+                "okey": pa.array(okey, pa.int64()),
+                "inner": batch.column("inner"),
+                "ftype": batch.column("ftype"),
+                "labels": batch.column("labels"),
+                "doc_id": batch.column("doc_id"),
+                "span_idx": batch.column("span_idx"),
+            }
+        )
+
+    def align_way(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        return pa.table(
+            {
+                "node_id": batch.column("node_id"),
+                "way_id": batch.column("way_id"),
+                "src": pa.array(np.zeros(n, dtype=np.int8), pa.int8()),
+                "pos": batch.column("pos"),
+                "is_area": batch.column("is_area"),
+                "rel_id": pa.nulls(n, pa.int64()),
+                "okey": pa.nulls(n, pa.int64()),
+                "inner": pa.nulls(n, pa.bool_()),
+                "ftype": batch.column("ftype"),
+                "labels": batch.column("labels"),
+                "doc_id": batch.column("doc_id"),
+                "span_idx": batch.column("span_idx"),
+            }
+        )
+
+    exploded_w = prepared_ways.map_batches(
+        explode_ways_with_meta, batch_format="pyarrow", zero_copy_batch=True
+    )
+    unioned = exploded_w.map_batches(
+        align_way, batch_format="pyarrow", zero_copy_batch=True
+    ).union(hop1.map_batches(align_rel, batch_format="pyarrow", zero_copy_batch=True))
+
+    looked = _lookup_nodes(
+        unioned, nodes_ds, "shuffle", num_partitions, 0
+    ).materialize()
+
+    def split(src_val: int, drop: list[str]):
+        def fn(batch: pa.Table) -> pa.Table:
+            out = batch.filter(pc.equal(batch.column("src"), src_val))
+            return out.drop_columns([c for c in drop if c in out.column_names])
+
+        return fn
+
+    ways_side = looked.map_batches(
+        split(0, ["src", "rel_id", "okey", "inner"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    rels_side = looked.map_batches(
+        split(1, ["src", "pos", "is_area"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+    ways_bucketed = ways_side.map_batches(
+        lambda b: add_bucket(b, "way_id", num_buckets), batch_format="pyarrow", zero_copy_batch=True
+    )
+    resolved_ways = ways_bucketed.groupby("bucket").map_groups(
+        lambda df: regroup_bucket(
+            df,
+            "way_id",
+            "pos",
+            ["node_id", "lon", "lat"],
+            ["is_area", "ftype", "labels", "doc_id", "span_idx"],
+        ),
+        batch_format="pandas",
+    )
+    rels_bucketed = rels_side.map_batches(
+        lambda b: add_bucket(b, "rel_id", num_buckets), batch_format="pyarrow", zero_copy_batch=True
+    )
+    resolved_rels = rels_bucketed.groupby("bucket").map_groups(
+        lambda df: regroup_bucket(
+            df,
+            "rel_id",
+            "okey",
+            ["okey", "way_id", "node_id", "lon", "lat", "inner"],
+            ["ftype", "labels", "doc_id", "span_idx"],
+        ),
+        batch_format="pandas",
+    )
+    return resolved_ways, resolved_rels
+
+
 # --------------------------------------------------------------------------
 # relation → way → node (two-hop, J5+J7)
 # --------------------------------------------------------------------------

@@ -143,6 +143,45 @@ def ingest_features(documents_ds, config: EngineConfig | None = None):
             nodes_ds.map_batches(F.encode_nodes_batch, batch_format="pyarrow", zero_copy_batch=True)
         )
 
+    if cfg.ingest_way and cfg.ingest_relation and mode == "shuffle":
+        # fused plan: ONE node-table exchange serves both the way branch
+        # and the relation second hop (see joins.resolve_ways_and_relations)
+        prepared = ways_ds.map_batches(
+            F.prepare_ways_batch, batch_format="pyarrow", zero_copy_batch=True
+        )
+        prepared_r = rels_ds.map_batches(
+            F.prepare_relations_batch, batch_format="pyarrow", zero_copy_batch=True
+        )
+        resolved_w, resolved_r = joins.resolve_ways_and_relations(
+            prepared,
+            prepared_r,
+            ways_ds,
+            nodes_ds,
+            num_partitions=cfg.num_partitions,
+        )
+        branches.append(
+            resolved_w.map_batches(
+                F.encode_ways_batch,
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+                batch_size=cfg.encode_batch_size,
+            )
+        )
+        branches.append(
+            resolved_r.map_batches(
+                F.encode_relations_batch,
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+                batch_size=cfg.relation_encode_batch_size,
+            )
+        )
+        if cfg.eager_branches:
+            branches = [b.materialize() for b in branches]
+        out = branches[0]
+        for b in branches[1:]:
+            out = out.union(b)
+        return out
+
     if cfg.ingest_way:
         prepared = ways_ds.map_batches(
             F.prepare_ways_batch, batch_format="pyarrow", zero_copy_batch=True

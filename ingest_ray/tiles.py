@@ -290,8 +290,12 @@ def assign_tiles(
     Features are far smaller than the input corpus and are about to be
     shuffled anyway; the object store spills if needed.
     """
+    # materialize on BOTH paths before coalesce_blocks: it inspects
+    # count()/num_blocks(), which on a lazy Dataset executes the whole
+    # upstream DAG once and the downstream shuffle a second time — a
+    # silent 2x recompute when explicit bounds skip the aggregate
+    features_ds = features_ds.materialize()
     if bounds is None:
-        features_ds = features_ds.materialize()
         bounds = global_bounds(features_ds)
     features_ds = coalesce_blocks(features_ds)
 
@@ -457,8 +461,9 @@ def assign_tiles_aggregated(
     import pyarrow as pa
     import ray
 
+    features_ds = features_ds.materialize()  # see assign_tiles: coalesce
+    # inspects count()/num_blocks(); lazy input would recompute twice
     if bounds is None:
-        features_ds = features_ds.materialize()
         bounds = global_bounds(features_ds)
     features_ds = coalesce_blocks(features_ds).materialize()
 

@@ -78,3 +78,104 @@ def test_changeset0_golden_round():
     # decode payload ids round-trip
     for k, payload in fresh:
         assert georender.payload_id(payload) == k
+
+
+# Rounds 1-3 of the reference's o5c replication loop
+# (/root/reference/tests/data/0/changeset{1,2,3}.xml, spec at
+# tests/ingest.rs:150-400): island way creation + relation member add,
+# node delete/create + way modify with two-hop propagation, and the
+# castle round (stitched two-outer multipolygon + open-way Line).
+
+from ingest_ray.changeset import GOLDEN_ROUND1 as ROUND1, GOLDEN_ROUND2 as ROUND2, GOLDEN_ROUND3 as ROUND3  # noqa: E501
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_changeset_rounds_1_to_3():
+    """Chained rounds 0-3: after each patch, the merged store must be
+    BYTE-IDENTICAL to a fresh ingest of the manually-updated element
+    corpus, and the reference's structural expectations must hold."""
+    import ray.data as rd
+
+    from ingest_ray.spans import serialize_node, serialize_relation, serialize_way
+    from ingest_ray.synth import (
+        GOLDEN_NODES,
+        GOLDEN_RELATIONS,
+        GOLDEN_WAYS,
+        _wrap_documents,
+        golden_documents,
+    )
+    from ingest_ray.tags import get_types
+
+    cfg = EngineConfig(join_mode="broadcast")
+    docs = rd.from_arrow(golden_documents())
+    current = _collect(ingest_features(docs, cfg))
+
+    nodes = {i: (lon, lat, tags) for i, lon, lat, tags in GOLDEN_NODES}
+    ways = {i: (refs, tags) for i, refs, tags in GOLDEN_WAYS}
+    rels = {i: (members, tags) for i, members, tags in GOLDEN_RELATIONS}
+
+    def apply_manual(changes):
+        for c in changes:
+            e = c["element"]
+            store = {"node": nodes, "way": ways, "relation": rels}[c["kind"]]
+            if c["op"] == "delete":
+                store.pop(e["id"], None)
+            elif c["kind"] == "node":
+                store[e["id"]] = (e["lon"], e["lat"], e.get("tags", []))
+            elif c["kind"] == "way":
+                store[e["id"]] = (e["refs"], e.get("tags", []))
+            else:
+                members = [(m["mtype"], m["role"], m["ref"]) for m in e["members"]]
+                store[e["id"]] = (members, e.get("tags", []))
+
+    def fresh_features():
+        geo = [("node", serialize_node(i, lo, la, t)) for i, (lo, la, t) in sorted(nodes.items())]
+        geo += [("way", serialize_way(i, r, t)) for i, (r, t) in sorted(ways.items())]
+        geo += [("relation", serialize_relation(i, m, t)) for i, (m, t) in sorted(rels.items())]
+        return _collect(ingest_features(rd.from_arrow(_wrap_documents(geo, spans_per_doc=4)), cfg))
+
+    def by_key(tbl):
+        return {r["key"]: r for r in tbl.to_pylist()}
+
+    state = None
+    for rnd, changes in enumerate((CHANGES0, ROUND1, ROUND2, ROUND3)):
+        apply_manual(changes)
+        delta, removed, state = apply_changeset(docs, changes, cfg, element_tables=state)
+        delta_t = _collect(delta) if delta is not None else current.schema.empty_table()
+        current = merge_features(current, delta_t, removed)
+        got = sorted((r["key"], bytes(r["payload"])) for r in current.to_pylist())
+        want = sorted((r["key"], bytes(r["payload"])) for r in fresh_features().to_pylist())
+        assert got == want, f"round {rnd}: patched store != fresh ingest"
+
+    rows = by_key(current)
+    types = get_types()
+    # round 1+2 island way: place.island area over the post-round-2 ring
+    island = rows[602 * 3 + 1]
+    assert island["ftype"] == types["place.island"]
+    assert np.float32(island["minx"]) == np.float32(5.003)
+    assert np.float32(island["miny"]) == np.float32(-10.008)
+    # lake re-encoded twice (member add, then member-way node swap):
+    # outer + 2 holes, renamed label
+    lake = rows[700 * 3 + 2]
+    assert bytes(lake["labels"]) == b"\x0a=Cool Lake\x00"
+    assert len(lake["ring_offsets"]) == 4  # [0, outer, +inner1, +inner2]
+    lake_pos = np.array(lake["positions"], dtype=np.float32).reshape(-1, 2)
+    assert any(np.array_equal(p, np.array([5.003, -10.008], dtype=np.float32)) for p in lake_pos)
+    # round 2 boat rental point
+    boat = rows[9104 * 3 + 0]
+    assert boat["ftype"] == types["amenity.other"]  # boat_rental -> curated-key fallback
+    # round 3 castle wall: OPEN tagged way stays a Line
+    wall = rows[4003 * 3 + 1]
+    assert wall["kind"] == georender.KIND_LINE
+    assert wall["ftype"] == types["historic.castle_wall"]
+    assert np.float32(wall["minx"]) == np.float32(6.998)
+    assert np.float32(wall["maxy"]) == np.float32(15.022)
+    # round 3 castle: two outer members stitch into one ring + one hole
+    castle = rows[4004 * 3 + 2]
+    assert castle["kind"] == georender.KIND_AREA
+    assert castle["ftype"] == types["historic.castle"]
+    assert len(castle["ring_offsets"]) == 3  # stitched outer + inner
+    assert np.float32(castle["minx"]) == np.float32(7.000)
+    assert np.float32(castle["maxy"]) == np.float32(15.020)
+    # untagged member ways emit no features of their own
+    assert 4000 * 3 + 1 not in rows and 4002 * 3 + 1 not in rows
