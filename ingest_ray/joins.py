@@ -149,12 +149,19 @@ class ShardedNodeIndex:
         self.mins = mins[order]
         self.maxs = maxs[order]
 
+    ekind: int | None = None  # set → blocks are mixed-kind; filter at first touch
+
     def _shard(self, b: int):
         ref = self.block_refs[b]
-        key = ref.hex()
+        key = ref.hex() if self.ekind is None else f"n{self.ekind}" + ref.hex()
         got = _SHARD_CACHE.get(key)
         if got is None:
+            import pyarrow.compute as _pc
+
             tbl = ray.get(ref)
+            if self.ekind is not None:
+                tbl = tbl.select(["ekind", "id", "lon", "lat"])
+                tbl = tbl.filter(_pc.equal(tbl.column("ekind"), self.ekind))
             ids = np.asarray(tbl.column("id").to_numpy(zero_copy_only=False), dtype=np.int64)
             lon = tbl.column("lon").to_numpy(zero_copy_only=False)
             lat = tbl.column("lat").to_numpy(zero_copy_only=False)
@@ -283,12 +290,19 @@ class ShardedWayRefsIndex:
         self.mins = mins[order]
         self.maxs = maxs[order]
 
+    ekind: int | None = None  # set → blocks are mixed-kind; filter at first touch
+
     def _shard(self, b: int):
         ref = self.block_refs[b]
-        key = "w" + ref.hex()
+        key = ("w" if self.ekind is None else f"w{self.ekind}") + ref.hex()
         got = _SHARD_CACHE.get(key)
         if got is None:
+            import pyarrow.compute as _pc
+
             tbl = ray.get(ref)
+            if self.ekind is not None:
+                tbl = tbl.select(["ekind", "id", "refs"])
+                tbl = tbl.filter(_pc.equal(tbl.column("ekind"), self.ekind))
             ids = np.asarray(tbl.column("id").to_numpy(zero_copy_only=False), dtype=np.int64)
             off, flat_arr = _list_offsets(tbl.column("refs"))
             flat = np.asarray(flat_arr.to_numpy(zero_copy_only=False), dtype=np.int64)
@@ -360,6 +374,52 @@ def build_way_refs_index_sharded(ways_ds) -> "ray.ObjectRef":
     keep = mins <= maxs
     refs = [refs[i] for i in np.flatnonzero(keep)]
     return ray.put(ShardedWayRefsIndex(refs, mins[keep], maxs[keep]))
+
+
+@ray.remote(num_cpus=0.25)
+def _block_kind_ranges(tbl: pa.Table):
+    """Per-kind (min, max) id of a mixed-kind element block (one task
+    serves BOTH index builds)."""
+    import pyarrow.compute as pc
+
+    out = []
+    ek = tbl.column("ekind")
+    for kind in (0, 1):
+        ids = tbl.filter(pc.equal(ek, kind)).column("id")
+        if len(ids) == 0:
+            out.append((2**63 - 1, -(2**63)))
+        else:
+            arr = ids.to_numpy(zero_copy_only=False)
+            out.append((int(arr.min()), int(arr.max())))
+    return out
+
+
+def build_sharded_indexes_from_all(all_el, want_way_index: bool = True):
+    """ONE sweep over the materialized union element blocks → kind-aware
+    sharded node and way-refs indexes → (node_ref, way_ref | None).
+
+    The per-kind builders each re-execute the kind_view filtered
+    projection over every block (a whole Dataset execution per index,
+    ~2.6s of fixed cost each at any CPU count). Here the zone maps come
+    from one parallel min/max sweep over the ALREADY materialized
+    blocks, and the kind filter happens lazily at worker first touch
+    (cached per (kind, block) — see ``_shard``).
+    """
+    refs = all_el.to_arrow_refs()
+    ranges = ray.get([_block_kind_ranges.remote(r) for r in refs])
+
+    def mk(cls, kind_idx: int, ekind: int):
+        mins = np.array([r[kind_idx][0] for r in ranges], dtype=np.int64)
+        maxs = np.array([r[kind_idx][1] for r in ranges], dtype=np.int64)
+        keep = mins <= maxs
+        blocks = [refs[i] for i in np.flatnonzero(keep)]
+        idx = cls(blocks, mins[keep], maxs[keep])
+        idx.ekind = ekind
+        return ray.put(idx)
+
+    node_ref = mk(ShardedNodeIndex, 0, 0)
+    way_ref = mk(ShardedWayRefsIndex, 1, 1) if want_way_index else None
+    return node_ref, way_ref
 
 
 def build_way_refs_index_auto(ways_ds) -> "ray.ObjectRef":

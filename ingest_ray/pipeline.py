@@ -65,9 +65,20 @@ def ingest_features(documents_ds, config: EngineConfig | None = None):
     # broadcast indexes are built ONCE and shared by both joins
     node_idx_ref = way_idx_ref = None
     if mode == "broadcast" and need_ways:
-        node_idx_ref = joins.build_node_index_auto(nodes_ds)
-        if cfg.ingest_relation:
-            way_idx_ref = joins.build_way_refs_index_auto(ways_ds)
+        if (
+            all_el is not None
+            and total_elements is not None
+            and total_elements > joins.SHARDED_INDEX_THRESHOLD
+        ):
+            # one min/max sweep over the materialized blocks replaces
+            # two filtered-scan executions (fixed ~5s → ~1s)
+            node_idx_ref, way_idx_ref = joins.build_sharded_indexes_from_all(
+                all_el, cfg.ingest_relation
+            )
+        else:
+            node_idx_ref = joins.build_node_index_auto(nodes_ds)
+            if cfg.ingest_relation:
+                way_idx_ref = joins.build_way_refs_index_auto(ways_ds)
 
     if mode == "broadcast" and all_el is not None:
         # fused fast path: elements → ONE map_batches producing node and

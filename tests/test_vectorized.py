@@ -220,3 +220,34 @@ def test_is_area_vectorized_equals_scalar():
         pairs = [(t["key"], t["value"]) for t in tl]
         assert got_w[i] == way_is_area(pairs, rl), (i, pairs, rl)
         assert got_r[i] == relation_is_area(pairs), (i, pairs)
+
+
+def test_combined_sharded_indexes_equal_driver(ray_session):
+    """build_sharded_indexes_from_all (kind-filtered mixed blocks) must
+    answer lookups identically to the driver-collect indexes."""
+    import numpy as np
+    import ray
+    import ray.data as rd
+
+    from ingest_ray import joins
+    from ingest_ray.elements import elements_all_dataset, kind_view
+    from ingest_ray.synth import synth_documents
+
+    docs = rd.from_arrow(synth_documents(30_000))
+    all_el = elements_all_dataset(docs).materialize()
+    n_ref, w_ref = joins.build_sharded_indexes_from_all(all_el, True)
+    n_drv = ray.get(joins.build_node_index(kind_view(all_el, "node")))
+    w_drv = ray.get(joins.build_way_refs_index(kind_view(all_el, "way")))
+    n_cmb = ray.get(n_ref)
+    w_cmb = ray.get(w_ref)
+
+    keys = np.arange(0, 40_000, 7, dtype=np.int64) * 10
+    f1, (lo1, la1) = n_cmb.lookup(keys)
+    f2, (lo2, la2) = n_drv.lookup(keys)
+    assert np.array_equal(f1, f2)
+    assert np.allclose(lo1[f1], lo2[f2]) and np.allclose(la1[f1], la2[f2])
+
+    wkeys = np.arange(10_000_000_000, 10_000_030_000, 13, dtype=np.int64)
+    g1, c1, r1 = w_cmb.lookup_refs(wkeys)
+    g2, c2, r2 = w_drv.lookup_refs(wkeys)
+    assert np.array_equal(g1, g2) and np.array_equal(c1, c2) and np.array_equal(r1, r2)
