@@ -457,7 +457,7 @@ def q_pip_geo_synth(sf_dir: str):
     feats = _synth_features(sf_dir)
     areas = pa.concat_tables(
         list(
-            feats.filter(lambda r: r["kind"] == 3)
+            feats.filter(expr="kind == 3")
             .select_columns(["key", "positions", "ring_offsets", "minx", "miny", "maxx", "maxy"])
             .iter_batches(batch_format="pyarrow", batch_size=1 << 20)
         )
@@ -474,6 +474,60 @@ def q_raster_vector_synth(sf_dir: str):
     feats = _synth_features(sf_dir)
     chips = synth_raster_chips((138.0, 34.0, 141.0, 37.0), res=6)  # over the hotspot
     return raster_vector_join(feats, chips, res=6)
+
+
+def q_pip_geo_part(sf_dir: str):
+    """Cell-partitioned PIP join — both sides stay Datasets end to end
+    (the planet-scale path; equals pip_geo_synth, property-tested)."""
+    import ray.data as rd
+
+    from ingest_ray.elements import elements_dataset
+    from ingest_ray.spatial import pip_join_partitioned
+
+    docs = _synth_docs_ds(sf_dir)
+    areas = _synth_features(sf_dir).filter(expr="kind == 3").select_columns(
+        ["key", "positions", "ring_offsets", "minx", "miny", "maxx", "maxy"]
+    )
+    pts = elements_dataset(docs, "node").select_columns(["id", "lon", "lat"]).rename_columns(
+        {"id": "pid"}
+    )
+    out = pip_join_partitioned(pts, areas, keep_cols=("pid",), res=5)
+    return out.select_columns(["pid", "poly_key"])
+
+
+def q_knn_geo_part(sf_dir: str):
+    """Cell-partitioned kNN join — the corpus is never collected or
+    broadcast (equals knn_geo_synth, property-tested)."""
+    import ray.data as rd
+
+    from ingest_ray.elements import elements_dataset
+    from ingest_ray.spatial import knn_join_partitioned
+
+    docs = _synth_docs_ds(sf_dir)
+    nodes = elements_dataset(docs, "node").select_columns(["id", "lon", "lat"])
+    head = pa.Table.from_pylist(nodes.limit(50).take_all())
+    queries = rd.from_arrow(
+        pa.table(
+            {
+                "qid": head.column("id"),
+                "lon": head.column("lon"),
+                "lat": head.column("lat"),
+            }
+        )
+    )
+    return knn_join_partitioned(queries, nodes, k=3, res=8)
+
+
+def q_raster_vector_part(sf_dir: str):
+    """Distributed-join raster↔vector (chips as a Dataset; equals
+    raster_vector_synth up to the exact cover, property-tested)."""
+    import ray.data as rd
+
+    from ingest_ray.spatial import raster_vector_join_partitioned, synth_raster_chips
+
+    feats = _synth_features(sf_dir)
+    chips = synth_raster_chips((138.0, 34.0, 141.0, 37.0), res=6)
+    return raster_vector_join_partitioned(feats, rd.from_arrow(chips), res=6)
 
 
 def q_media_features_synth(sf_dir: str):
@@ -611,6 +665,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_geo_synth": q_knn_geo_synth,
         "pip_geo_synth": q_pip_geo_synth,
         "raster_vector_synth": q_raster_vector_synth,
+        "pip_geo_part": q_pip_geo_part,
+        "knn_geo_part": q_knn_geo_part,
+        "raster_vector_part": q_raster_vector_part,
         "media_features_synth": q_media_features_synth,
         "span_invariant": q_span_invariant,
         "simhash_docs": q_simhash_docs,

@@ -272,13 +272,22 @@ def hex_k_rings_batch(cells: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray
 
 
 def hex_cover_bbox(minx: float, miny: float, maxx: float, maxy: float, res: int) -> np.ndarray:
-    """Hex cells covering a bbox (over-approximate by one ring)."""
+    """Hex cells covering a bbox — exact axial-range enumeration with a
+    one-cell margin: a guaranteed superset of every cell whose area
+    intersects the bbox. (The previous grid-sampling version could skip
+    staggered rows, silently dropping containment/chip matches.)"""
     s = _hex_size(res)
-    xs = np.arange(minx - s, maxx + 2 * s, s * _SQRT3 * 0.9)
-    ys = np.arange(miny - s, maxy + 2 * s, s * 1.4)
-    gx, gy = np.meshgrid(xs, ys)
-    cells = hex_cell(gx.ravel(), gy.ravel(), res)
-    return np.unique(cells)
+    r_lo = int(np.floor((2.0 / 3.0 * miny) / s)) - 1
+    r_hi = int(np.ceil((2.0 / 3.0 * maxy) / s)) + 1
+    rs = np.arange(r_lo, r_hi + 1, dtype=np.int64)
+    q_lo = np.floor(minx / (_SQRT3 * s) - rs / 2.0).astype(np.int64) - 1
+    q_hi = np.ceil(maxx / (_SQRT3 * s) - rs / 2.0).astype(np.int64) + 1
+    counts = q_hi - q_lo + 1
+    total = int(counts.sum())
+    r_flat = np.repeat(rs, counts)
+    within = np.arange(total, dtype=np.int64) - np.repeat(np.cumsum(counts) - counts, counts)
+    q_flat = np.repeat(q_lo, counts) + within
+    return _hex_pack(res, q_flat, r_flat)
 
 
 # --------------------------------------------------------------------------

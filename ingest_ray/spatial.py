@@ -128,6 +128,167 @@ def pip_join(
     return points_ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def pip_join_partitioned(
+    points_ds,
+    polygons_ds,
+    x_col: str = "lon",
+    y_col: str = "lat",
+    keep_cols: tuple[str, ...] = (),
+    res: int = 5,
+    num_buckets: int = 64,
+):
+    """Cell-partitioned PIP join — BOTH sides are Datasets; nothing is
+    driver-materialized or broadcast (the planet-scale path promised by
+    :func:`pip_join`'s docstring; output equals the broadcast variant,
+    property-tested).
+
+    Plan: each polygon row replicates to the coarse hex cells covering
+    its bbox; each point goes to its own cell. One hash shuffle on the
+    cell brings them together; every bucket dedupes its polygon rows
+    (a polygon can cover several cells of one bucket) and runs the
+    same bbox-prefiltered ray-cast kernel cell-locally. A point meets
+    a polygon in exactly one bucket (the point's own cell), so pairs
+    are emitted exactly once.
+    """
+    import pandas as pd
+
+    from .cells import hex_cover_bbox
+    from .util import splitmix64
+
+    pt_cols = [x_col, y_col, *keep_cols]
+
+    def explode_polys(batch: pa.Table) -> pa.Table:
+        minx = batch.column("minx").to_numpy(zero_copy_only=False)
+        miny = batch.column("miny").to_numpy(zero_copy_only=False)
+        maxx = batch.column("maxx").to_numpy(zero_copy_only=False)
+        maxy = batch.column("maxy").to_numpy(zero_copy_only=False)
+        covers = [hex_cover_bbox(minx[i], miny[i], maxx[i], maxy[i], res) for i in range(len(batch))]
+        counts = np.fromiter((len(c) for c in covers), dtype=np.int64, count=len(batch))
+        rows = np.repeat(np.arange(len(batch)), counts)
+        cells = np.concatenate(covers) if covers else np.empty(0, dtype=np.uint64)
+        sub = batch.take(pa.array(rows, pa.int64()))
+        n = len(sub)
+        out = {
+            "cell": pa.array(cells, pa.uint64()),
+            "is_poly": pa.array(np.ones(n, dtype=bool), pa.bool_()),
+            "key": sub.column("key"),
+            "positions": sub.column("positions"),
+            "ring_offsets": sub.column("ring_offsets"),
+            "minx": sub.column("minx"),
+            "miny": sub.column("miny"),
+            "maxx": sub.column("maxx"),
+            "maxy": sub.column("maxy"),
+        }
+        for c in pt_cols:
+            out[f"pt_{c}"] = pa.nulls(n, pa.float64())
+        return pa.table(out)
+
+    FSCHEMA = None  # resolved lazily from the first polygon batch
+
+    def explode_points(batch: pa.Table) -> pa.Table:
+        px = batch.column(x_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        py = batch.column(y_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        cells = hex_cell(px, py, res)
+        n = len(batch)
+        empty_i32 = pa.ListArray.from_arrays(
+            pa.array(np.zeros(n + 1, dtype=np.int32), pa.int32()), pa.array([], pa.int32())
+        )
+        empty_f32 = pa.ListArray.from_arrays(
+            pa.array(np.zeros(n + 1, dtype=np.int32), pa.int32()), pa.array([], pa.float32())
+        )
+        out = {
+            "cell": pa.array(cells, pa.uint64()),
+            "is_poly": pa.array(np.zeros(n, dtype=bool), pa.bool_()),
+            "key": pa.nulls(n, pa.uint64()),
+            "positions": empty_f32,
+            "ring_offsets": empty_i32,
+            "minx": pa.nulls(n, pa.float32()),
+            "miny": pa.nulls(n, pa.float32()),
+            "maxx": pa.nulls(n, pa.float32()),
+            "maxy": pa.nulls(n, pa.float32()),
+        }
+        for c in pt_cols:
+            out[f"pt_{c}"] = batch.column(c).cast(pa.float64())
+        return pa.table(out)
+
+    polys = polygons_ds.map_batches(explode_polys, batch_format="pyarrow", zero_copy_batch=True)
+    points = points_ds.map_batches(explode_points, batch_format="pyarrow", zero_copy_batch=True)
+    unioned = polys.union(points)
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        c = batch.column("cell").to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = (splitmix64(c) % np.uint64(num_buckets)).astype(np.int32)
+        return batch.append_column("bucket", pa.array(b, pa.int32()))
+
+    bucketed = unioned.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+
+    OUT_SCHEMA = pa.schema(
+        [pa.field(c, pa.float64()) for c in pt_cols] + [pa.field("poly_key", pa.uint64())]
+    )
+
+    def per_bucket(df: pd.DataFrame) -> pa.Table:
+        is_poly = df["is_poly"].to_numpy(dtype=bool)
+        pts = df[~is_poly]
+        pls = df[is_poly]
+        if len(pts) == 0 or len(pls) == 0:
+            return OUT_SCHEMA.empty_table()
+        # a point only pairs with polygons covering ITS cell — restrict
+        # each cell's point set to that cell's (deduped) polygons
+        out_parts = []
+        pt_cells = pts["cell"].to_numpy().astype(np.uint64)
+        for cell, pl_group in pls.groupby("cell"):
+            sel = pt_cells == np.uint64(cell)
+            if not sel.any():
+                continue
+            sub_pts = pts[sel]
+            pl_u = pl_group.drop_duplicates("key")
+            pset = PolygonSet(
+                pl_u["key"].to_numpy().astype(np.uint64),
+                np.concatenate([np.asarray(v, dtype=np.float64) for v in pl_u["positions"]])
+                if len(pl_u)
+                else np.empty(0),
+                _ring_offsets_from_rows(pl_u),
+                _ring_spans_from_rows(pl_u),
+                pl_u[["minx", "miny", "maxx", "maxy"]].to_numpy().astype(np.float64),
+            )
+            px = sub_pts[f"pt_{x_col}"].to_numpy(dtype=np.float64)
+            py = sub_pts[f"pt_{y_col}"].to_numpy(dtype=np.float64)
+            pt_idx, poly_id = pset.contains(px, py)
+            cols = {c: pa.array(sub_pts[f"pt_{c}"].to_numpy(dtype=np.float64)[pt_idx], pa.float64()) for c in pt_cols}
+            cols["poly_key"] = pa.array(poly_id, pa.uint64())
+            out_parts.append(pa.table(cols))
+        if not out_parts:
+            return OUT_SCHEMA.empty_table()
+        return pa.concat_tables(out_parts).cast(OUT_SCHEMA)
+
+    return bucketed.groupby("bucket").map_groups(per_bucket, batch_format="pandas")
+
+
+def _ring_offsets_from_rows(df) -> np.ndarray:
+    """Packed pair-offsets for a polygon-row DataFrame (positions +
+    ring_offsets object columns) — the PolygonSet layout."""
+    offsets = [0]
+    for p, r in zip(df["positions"], df["ring_offsets"]):
+        p = np.asarray(p)
+        r = np.asarray(r) if len(np.asarray(r)) else np.array([0, len(p) // 2])
+        base = offsets[-1]
+        for k in range(1, len(r)):
+            offsets.append(base + int(r[k]))
+    return np.asarray(offsets, dtype=np.int64)
+
+
+def _ring_spans_from_rows(df) -> np.ndarray:
+    spans = []
+    ring_i = 0
+    for p, r in zip(df["positions"], df["ring_offsets"]):
+        p = np.asarray(p)
+        r = np.asarray(r) if len(np.asarray(r)) else np.array([0, len(p) // 2])
+        n_rings = len(r) - 1
+        spans.append((ring_i, ring_i + n_rings))
+        ring_i += n_rings
+    return np.asarray(spans, dtype=np.int64).reshape(-1, 2)
+
+
 # --------------------------------------------------------------------------
 # kNN join (k-ring candidate expansion + actor-pool cell index)
 # --------------------------------------------------------------------------
@@ -142,7 +303,10 @@ class CellIndex:
     def __init__(self, ids: np.ndarray, xs: np.ndarray, ys: np.ndarray, res: int):
         self.res = res
         cells = hex_cell(xs, ys, res)
-        order = np.argsort(cells, kind="stable")
+        # (cell, id) order — input-order independent, so a per-partition
+        # index answers EXACTLY like the global broadcast index
+        # (including distance-tie ordering in top-k)
+        order = np.lexsort((ids, cells))
         self.cells_sorted = cells[order]
         self.ids = ids[order]
         self.xs = xs[order]
@@ -177,50 +341,62 @@ class KnnActor:
         qx = batch.column("lon").to_numpy(zero_copy_only=False).astype(np.float64)
         qy = batch.column("lat").to_numpy(zero_copy_only=False).astype(np.float64)
         qid = batch.column("qid").to_numpy(zero_copy_only=False)
-        out_q, out_n, out_d, out_rank = [], [], [], []
-        cells = hex_cell(qx, qy, self.res)
-        for i in range(len(qx)):
-            ring = 1
-            cand = np.empty(0, dtype=np.int64)
-            while ring <= self.max_ring:
-                flat, _ = hex_k_rings_batch(cells[i : i + 1], ring)
-                cand = self.index.candidates(np.unique(flat))
-                if len(cand) >= self.k:
-                    # one extra ring so the true top-k can't hide just
-                    # outside the searched ring boundary
-                    flat, _ = hex_k_rings_batch(cells[i : i + 1], ring + 1)
-                    cand = self.index.candidates(np.unique(flat))
-                    break
-                ring += 1
-            if len(cand) == 0:
-                continue
-            dx = self.index.xs[cand] - qx[i]
-            dy = self.index.ys[cand] - qy[i]
-            d2 = dx * dx + dy * dy
-            kk = min(self.k, len(cand))
-            top = np.argpartition(d2, kk - 1)[:kk]
-            top = top[np.argsort(d2[top], kind="stable")]
-            out_q.append(np.full(kk, qid[i]))
-            out_n.append(self.index.ids[cand[top]])
-            out_d.append(np.sqrt(d2[top]))
-            out_rank.append(np.arange(kk, dtype=np.int32))
-        if not out_q:
-            return pa.table(
-                {
-                    "qid": pa.array([], pa.int64()),
-                    "neighbor_id": pa.array([], pa.int64()),
-                    "dist": pa.array([], pa.float64()),
-                    "rank": pa.array([], pa.int32()),
-                }
-            )
-        return pa.table(
-            {
-                "qid": pa.array(np.concatenate(out_q), pa.int64()),
-                "neighbor_id": pa.array(np.concatenate(out_n), pa.int64()),
-                "dist": pa.array(np.concatenate(out_d), pa.float64()),
-                "rank": pa.array(np.concatenate(out_rank), pa.int32()),
-            }
-        )
+        return knn_answer(self.index, qx, qy, qid, self.k, self.res, self.max_ring)
+
+
+_KNN_SCHEMA = pa.schema(
+    [
+        pa.field("qid", pa.int64()),
+        pa.field("neighbor_id", pa.int64()),
+        pa.field("dist", pa.float64()),
+        pa.field("rank", pa.int32()),
+    ]
+)
+
+
+def knn_answer(
+    index: CellIndex, qx, qy, qid, k: int, res: int, max_ring: int = 6
+) -> pa.Table:
+    """k-ring-expanding top-k against a CellIndex (shared by the
+    broadcast actor pool and the cell-partitioned join — deterministic
+    given the index's (cell, id) ordering)."""
+    out_q, out_n, out_d, out_rank = [], [], [], []
+    cells = hex_cell(qx, qy, res)
+    for i in range(len(qx)):
+        ring = 1
+        cand = np.empty(0, dtype=np.int64)
+        while ring <= max_ring:
+            flat, _ = hex_k_rings_batch(cells[i : i + 1], ring)
+            cand = index.candidates(np.unique(flat))
+            if len(cand) >= k:
+                # one extra ring so the true top-k can't hide just
+                # outside the searched ring boundary
+                flat, _ = hex_k_rings_batch(cells[i : i + 1], ring + 1)
+                cand = index.candidates(np.unique(flat))
+                break
+            ring += 1
+        if len(cand) == 0:
+            continue
+        dx = index.xs[cand] - qx[i]
+        dy = index.ys[cand] - qy[i]
+        d2 = dx * dx + dy * dy
+        kk = min(k, len(cand))
+        top = np.argpartition(d2, kk - 1)[:kk]
+        top = top[np.argsort(d2[top], kind="stable")]
+        out_q.append(np.full(kk, qid[i]))
+        out_n.append(index.ids[cand[top]])
+        out_d.append(np.sqrt(d2[top]))
+        out_rank.append(np.arange(kk, dtype=np.int32))
+    if not out_q:
+        return _KNN_SCHEMA.empty_table()
+    return pa.table(
+        {
+            "qid": pa.array(np.concatenate(out_q), pa.int64()),
+            "neighbor_id": pa.array(np.concatenate(out_n), pa.int64()),
+            "dist": pa.array(np.concatenate(out_d), pa.float64()),
+            "rank": pa.array(np.concatenate(out_rank), pa.int32()),
+        }
+    )
 
 
 def knn_join(
@@ -251,6 +427,187 @@ def knn_join(
         zero_copy_batch=True,
         concurrency=concurrency,
     )
+
+
+def knn_join_partitioned(
+    queries_ds,
+    corpus_ds,
+    k: int = 5,
+    res: int = 7,
+    coarse_res: int | None = None,
+    num_buckets: int = 64,
+    id_col: str = "id",
+    x_col: str = "lon",
+    y_col: str = "lat",
+    max_ring: int = 6,
+):
+    """Cell-partitioned kNN — corpus is a Dataset, never collected to
+    the driver or broadcast whole (the planet-scale path promised by
+    :func:`knn_join`; output equals the broadcast variant,
+    property-tested).
+
+    Corpus points replicate to their COARSE hex cell plus its 1-ring
+    halo (×7); queries go to their own coarse cell. The coarse
+    resolution is chosen so one coarse ring strictly covers the
+    maximum fine-ring search radius — every candidate the global index
+    could return is present in the query's partition, and the
+    per-partition CellIndex answers identically (its (cell, id)
+    ordering is input-order independent).
+    """
+    import pandas as pd
+
+    from .util import splitmix64
+
+    # one coarse ring must cover (max_ring + 2) fine rings; hex size
+    # halves per res step, so 4 levels coarser gives a 16x cell span
+    coarse = coarse_res if coarse_res is not None else max(0, res - 4)
+
+    def corpus_side(batch: pa.Table) -> pa.Table:
+        xs = batch.column(x_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        ys = batch.column(y_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        home = hex_cell(xs, ys, coarse)
+        halo, _ = hex_k_rings_batch(home, 1)  # 7 cells per point, row-major
+        rep = len(halo) // max(len(ids), 1)
+        n = len(ids) * rep
+        return pa.table(
+            {
+                "tcell": pa.array(halo, pa.uint64()),
+                "is_corpus": pa.array(np.ones(n, dtype=bool), pa.bool_()),
+                "id": pa.array(np.repeat(ids, rep), pa.int64()),
+                "x": pa.array(np.repeat(xs, rep), pa.float64()),
+                "y": pa.array(np.repeat(ys, rep), pa.float64()),
+            }
+        )
+
+    def query_side(batch: pa.Table) -> pa.Table:
+        xs = batch.column(x_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        ys = batch.column(y_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        qid = batch.column("qid").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "tcell": pa.array(hex_cell(xs, ys, coarse), pa.uint64()),
+                "is_corpus": pa.array(np.zeros(len(qid), dtype=bool), pa.bool_()),
+                "id": pa.array(qid, pa.int64()),
+                "x": pa.array(xs, pa.float64()),
+                "y": pa.array(ys, pa.float64()),
+            }
+        )
+
+    unioned = corpus_ds.map_batches(
+        corpus_side, batch_format="pyarrow", zero_copy_batch=True
+    ).union(queries_ds.map_batches(query_side, batch_format="pyarrow", zero_copy_batch=True))
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        c = batch.column("tcell").to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = (splitmix64(c) % np.uint64(num_buckets)).astype(np.int32)
+        return batch.append_column("bucket", pa.array(b, pa.int32()))
+
+    bucketed = unioned.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+
+    def per_bucket(df: pd.DataFrame) -> pa.Table:
+        is_c = df["is_corpus"].to_numpy(dtype=bool)
+        parts = []
+        qsub_all = df[~is_c]
+        csub_all = df[is_c]
+        if len(qsub_all) == 0 or len(csub_all) == 0:
+            return _KNN_SCHEMA.empty_table()
+        for tcell, qsub in qsub_all.groupby("tcell"):
+            csub = csub_all[csub_all["tcell"].to_numpy() == tcell]
+            if len(csub) == 0:
+                continue
+            cd = csub.drop_duplicates("id")
+            index = CellIndex(
+                cd["id"].to_numpy(dtype=np.int64),
+                cd["x"].to_numpy(dtype=np.float64),
+                cd["y"].to_numpy(dtype=np.float64),
+                res,
+            )
+            parts.append(
+                knn_answer(
+                    index,
+                    qsub["x"].to_numpy(dtype=np.float64),
+                    qsub["y"].to_numpy(dtype=np.float64),
+                    qsub["id"].to_numpy(dtype=np.int64),
+                    k,
+                    res,
+                    max_ring,
+                )
+            )
+        if not parts:
+            return _KNN_SCHEMA.empty_table()
+        return pa.concat_tables(parts)
+
+    return bucketed.groupby("bucket").map_groups(per_bucket, batch_format="pandas")
+
+
+def raster_vector_join_partitioned(features_ds, chips_ds, res: int = 7):
+    """Cell-keyed raster↔vector join with a distributed hash join —
+    chips are a Dataset, not a broadcast table (the planet-scale path
+    promised by :func:`raster_vector_join`; output equals the
+    broadcast variant, property-tested).
+
+    features → exploded (cell, key) cover rows ⋈ chips on cell →
+    groupby(key) mean/count. Only (cell, key) pairs and matched chip
+    values cross the exchanges.
+    """
+    from ray.data.aggregate import Count, Mean
+
+    from .cells import hex_cover_bbox
+    from .util import effective_num_partitions, tune_shuffle_context
+
+    def explode_cover(batch: pa.Table) -> pa.Table:
+        minx = batch.column("minx").to_numpy(zero_copy_only=False)
+        miny = batch.column("miny").to_numpy(zero_copy_only=False)
+        maxx = batch.column("maxx").to_numpy(zero_copy_only=False)
+        maxy = batch.column("maxy").to_numpy(zero_copy_only=False)
+        keys = batch.column("key").to_numpy(zero_copy_only=False)
+        covers = [
+            hex_cover_bbox(minx[i], miny[i], maxx[i], maxy[i], res) for i in range(len(batch))
+        ]
+        counts = np.fromiter((len(c) for c in covers), dtype=np.int64, count=len(batch))
+        cells = np.concatenate(covers) if covers else np.empty(0, dtype=np.uint64)
+        return pa.table(
+            {
+                # int64 view: Dataset.join keys stay native Arrow types
+                "ccell": pa.array(cells.view(np.int64), pa.int64()),
+                "key": pa.array(np.repeat(keys, counts), pa.uint64()),
+            }
+        )
+
+    def chip_side(batch: pa.Table) -> pa.Table:
+        cells = batch.column("cell").to_numpy(zero_copy_only=False).astype(np.uint64)
+        return pa.table(
+            {
+                "chip_cell": pa.array(cells.view(np.int64), pa.int64()),
+                "band_mean": batch.column("band_mean"),
+            }
+        )
+
+    cover = features_ds.map_batches(explode_cover, batch_format="pyarrow", zero_copy_batch=True)
+    chips = chips_ds.map_batches(chip_side, batch_format="pyarrow", zero_copy_batch=True)
+    tune_shuffle_context()
+    joined = cover.join(
+        chips,
+        join_type="inner",
+        num_partitions=effective_num_partitions(16),
+        on=("ccell",),
+        right_on=("chip_cell",),
+    )
+    agg = joined.groupby("key").aggregate(
+        Mean("band_mean", alias_name="chip_mean"), Count(alias_name="chips")
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "key": batch.column("key").cast(pa.uint64()),
+                "chip_mean": batch.column("chip_mean"),
+                "chips": batch.column("chips").cast(pa.int32()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
 
 
 # --------------------------------------------------------------------------

@@ -159,3 +159,108 @@ def test_raster_vector_join(ray_session):
     got = {r["key"]: r for r in out}
     assert 7 in got and got[7]["chips"] >= 1
     assert 8 not in got  # outside the raster extent
+
+
+def _rand_points(n, seed, span=3.0):
+    rng = np.random.default_rng(seed)
+    return (rng.uniform(0, span, n), rng.uniform(0, span, n))
+
+
+def test_pip_partitioned_equals_broadcast(ray_session):
+    import ray.data as rd
+
+    from ingest_ray.spatial import pip_join, pip_join_partitioned
+
+    rng = np.random.default_rng(9)
+    polys = []
+    for key in range(1, 25):
+        cx, cy = rng.uniform(0.3, 2.7, 2)
+        w, h = rng.uniform(0.05, 0.4, 2)
+        ring = [cx - w, cy - h, cx + w, cy - h, cx + w, cy + h, cx - w, cy + h]
+        rings = [ring]
+        if key % 3 == 0:  # hole
+            rings.append([cx - w / 3, cy - h / 3, cx + w / 3, cy - h / 3,
+                          cx + w / 3, cy + h / 3, cx - w / 3, cy + h / 3])
+        polys.append((key, rings))
+    poly_tbl = _poly_features(polys)
+    px, py = _rand_points(800, 10)
+    pts_tbl = pa.table(
+        {
+            "pid": pa.array(np.arange(800), pa.int64()),
+            "lon": pa.array(px, pa.float64()),
+            "lat": pa.array(py, pa.float64()),
+        }
+    )
+    pts = rd.from_arrow(pts_tbl)
+    bc = pip_join(pts, poly_tbl, keep_cols=("pid",)).take_all()
+    pt = pip_join_partitioned(
+        pts, rd.from_arrow(poly_tbl), keep_cols=("pid",), res=4
+    ).take_all()
+    a = sorted((int(r["pid"]), int(r["poly_key"])) for r in bc)
+    b = sorted((int(r["pid"]), int(r["poly_key"])) for r in pt)
+    assert a == b and len(a) > 0
+
+
+def test_knn_partitioned_equals_broadcast(ray_session):
+    import ray.data as rd
+
+    from ingest_ray.spatial import knn_join, knn_join_partitioned
+
+    rng = np.random.default_rng(11)
+    n = 600
+    xs = rng.uniform(0, 2, n)
+    ys = rng.uniform(0, 2, n)
+    corpus_tbl = pa.table(
+        {
+            "id": pa.array(np.arange(n), pa.int64()),
+            "lon": pa.array(xs, pa.float64()),
+            "lat": pa.array(ys, pa.float64()),
+        }
+    )
+    qx, qy = _rand_points(60, 12, span=2.0)
+    q_tbl = pa.table(
+        {
+            "qid": pa.array(np.arange(60), pa.int64()),
+            "lon": pa.array(qx, pa.float64()),
+            "lat": pa.array(qy, pa.float64()),
+        }
+    )
+    queries = rd.from_arrow(q_tbl)
+    bc = knn_join(queries, corpus_tbl, k=4, res=8, concurrency=2).take_all()
+    pt = knn_join_partitioned(
+        queries, rd.from_arrow(corpus_tbl), k=4, res=8
+    ).take_all()
+    a = sorted((r["qid"], r["rank"], r["neighbor_id"], round(r["dist"], 12)) for r in bc)
+    b = sorted((r["qid"], r["rank"], r["neighbor_id"], round(r["dist"], 12)) for r in pt)
+    assert a == b and len(a) >= 60 * 3  # some queries exhaust max_ring below k
+
+
+def test_raster_partitioned_equals_broadcast(ray_session):
+    import ray.data as rd
+
+    from ingest_ray.spatial import (
+        raster_vector_join,
+        raster_vector_join_partitioned,
+        synth_raster_chips,
+    )
+
+    chips = synth_raster_chips((0, 0, 3, 3), res=6)
+    rng = np.random.default_rng(13)
+    n = 120
+    minx = rng.uniform(0, 2.5, n).astype(np.float32)
+    miny = rng.uniform(0, 2.5, n).astype(np.float32)
+    feats = pa.table(
+        {
+            "key": pa.array(np.arange(1, n + 1), pa.uint64()),
+            "minx": pa.array(minx, pa.float32()),
+            "miny": pa.array(miny, pa.float32()),
+            "maxx": pa.array(minx + rng.uniform(0.05, 0.5, n).astype(np.float32), pa.float32()),
+            "maxy": pa.array(miny + rng.uniform(0.05, 0.5, n).astype(np.float32), pa.float32()),
+        }
+    )
+    fds = rd.from_arrow(feats)
+    bc = raster_vector_join(fds, chips, res=6).take_all()
+    pt = raster_vector_join_partitioned(fds, rd.from_arrow(chips), res=6).take_all()
+    a = sorted((int(r["key"]), int(r["chips"]), round(r["chip_mean"], 9)) for r in bc)
+    b = sorted((int(r["key"]), int(r["chips"]), round(r["chip_mean"], 9)) for r in pt)
+    assert a == b and len(a) > 0
