@@ -299,6 +299,88 @@ def q_grid_cell_customers(sf_dir: str):
     return df
 
 
+def q_hex_cell_customers(sf_dir: str):
+    """Hex cell assignment (the engine's axial cube-rounding math) over
+    key-derived points — DuckDB-oracled bit-for-bit: the SQL twin
+    replicates qf/rf, cube rounding and the id packing in plain
+    arithmetic (cells.hex_cell, res 7)."""
+    from ray.data.aggregate import Count
+
+    from ingest_ray.cells import hex_cell
+
+    ds = _read(sf_dir, "customer", ["c_custkey"])
+
+    def cellify(t: pa.Table) -> pa.Table:
+        k = t.column("c_custkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        px = (k * 9973 % 36000) / 100.0 - 180.0
+        py = (k * 9949 % 18000) / 100.0 - 90.0
+        cells = hex_cell(px, py, 7).view(np.int64)
+        return pa.table({"cell": pa.array(cells, pa.int64())})
+
+    out = ds.map_batches(cellify, batch_format="pyarrow", zero_copy_batch=True)
+    df = out.groupby("cell").aggregate(Count(alias_name="n")).to_pandas()
+    df["n"] = df["n"].astype("int64")
+    return df
+
+
+def q_knn_customers(sf_dir: str):
+    """Exact kNN geo join over key-derived customer points (queries =
+    c_custkey ≤ 20, corpus = all customers, k=5, ties by neighbor id) —
+    the DuckDB-oracled twin of the approximate k-ring join. Pattern:
+    corpus STREAMS in batches against the broadcast query set; only
+    per-batch local top-k partials reach the driver merge."""
+    import ray
+
+    ds = _read(sf_dir, "customer", ["c_custkey"])
+    K = 5
+
+    def pts(k: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        return (k * 9973 % 36000) / 100.0 - 180.0, (k * 9949 % 18000) / 100.0 - 90.0
+
+    qk = np.arange(1, 21, dtype=np.int64)
+    qx, qy = pts(qk)
+    qref = ray.put((qk, qx, qy))
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        qk_, qx_, qy_ = ray.get(qref)
+        ck = t.column("c_custkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        cx, cy = pts(ck)
+        out_q, out_n, out_d = [], [], []
+        for i in range(len(qk_)):
+            keep = ck != qk_[i]
+            dx = cx[keep] - qx_[i]
+            dy = cy[keep] - qy_[i]
+            d2 = dx * dx + dy * dy
+            ids = ck[keep]
+            kk = min(K, len(ids))
+            if kk == 0:
+                continue
+            # lexsort (d2, id): boundary ties keep the LOWEST neighbor
+            # id, so per-batch top-k ⊇ the global (d2, id) top-k
+            top = np.lexsort((ids, d2))[:kk]
+            out_q.append(np.full(len(top), qk_[i]))
+            out_n.append(ids[top])
+            out_d.append(d2[top])
+        return pa.table(
+            {
+                "qid": pa.array(np.concatenate(out_q), pa.int64()),
+                "neighbor_id": pa.array(np.concatenate(out_n), pa.int64()),
+                "d2": pa.array(np.concatenate(out_d), pa.float64()),
+            }
+        )
+
+    partials = ds.map_batches(local_topk, batch_format="pyarrow", zero_copy_batch=True)
+    df = partials.to_pandas()
+    rows = []
+    for qid, g in df.groupby("qid"):
+        order = np.lexsort((g["neighbor_id"].to_numpy(), g["d2"].to_numpy()))[:K]
+        for rank, j in enumerate(order, start=1):
+            rows.append((int(qid), int(g["neighbor_id"].to_numpy()[j]), rank))
+    out = pd.DataFrame(rows, columns=["qid", "neighbor_id", "rank"])
+    out["rank"] = out["rank"].astype("int64")
+    return out
+
+
 def q_pip_customers(sf_dir: str):
     """Real ray-casting PIP kernel over key-derived points vs a
     rectangle polygon (oracle: BETWEEN)."""
@@ -654,6 +736,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dup": q_embedding_near_dup,
         "ann_topk": q_ann_topk,
         "grid_cell_customers": q_grid_cell_customers,
+        "hex_cell_customers": q_hex_cell_customers,
+        "knn_customers": q_knn_customers,
         "pip_customers": q_pip_customers,
         # geo / sketch operators (rows-only)
         "ingest_synth": q_ingest_synth,
@@ -678,6 +762,45 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint_docs": q_fingerprint_docs,
         "lsh_ann": q_lsh_ann,
     }
+
+
+def _hex_cell_oracle_sql() -> str:
+    """SQL twin of cells.hex_cell at res 7: same axial transform, cube
+    rounding and id packing. The float constants are inlined via repr()
+    so DuckDB parses the EXACT doubles numpy uses (bit-for-bit hash
+    match; np.round vs round() differ only at exact .5 fractions, which
+    the irrational scalings cannot produce from 2-decimal inputs)."""
+    import numpy as _np
+
+    sqrt3_over_3 = repr(float(_np.sqrt(3.0) / 3.0))
+    from ingest_ray.cells import _hex_size
+
+    s = repr(float(_hex_size(7)))
+    return f"""
+        WITH pts AS (
+          SELECT (c_custkey * 9973 % 36000) / 100.0 - 180.0 AS px,
+                 (c_custkey * 9949 % 18000) / 100.0 - 90.0 AS py
+          FROM customer),
+        ax AS (
+          SELECT ({sqrt3_over_3} * px - py / 3.0) / {s} AS qf,
+                 ((2.0 / 3.0) * py) / {s} AS rf
+          FROM pts),
+        rounded AS (
+          SELECT qf, rf, -qf - rf AS yf,
+                 round(qf) AS rx, round(-qf - rf) AS ry, round(rf) AS rz
+          FROM ax),
+        fixed AS (
+          SELECT CASE WHEN abs(rx - qf) > abs(ry - yf) AND abs(rx - qf) > abs(rz - rf)
+                      THEN -ry - rz ELSE rx END AS q,
+                 CASE WHEN NOT (abs(rx - qf) > abs(ry - yf) AND abs(rx - qf) > abs(rz - rf))
+                           AND abs(rz - rf) > abs(ry - yf)
+                      THEN -rx - ry ELSE rz END AS r
+          FROM rounded)
+        SELECT (7 * 72057594037927936 + (CAST(q AS BIGINT) + 67108864) * 268435456
+                + (CAST(r AS BIGINT) + 67108864)) AS cell,
+               count(*) AS n
+        FROM fixed GROUP BY cell
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -776,6 +899,24 @@ def oracle_sql() -> dict[str, str]:
                    + ((c_custkey * 9973 % 36000) // 4500) AS cell,
                    count(*) AS n
             FROM customer GROUP BY cell
+        """,
+        "hex_cell_customers": _hex_cell_oracle_sql(),
+        "knn_customers": """
+            WITH pts AS (
+              SELECT c_custkey AS id,
+                     (c_custkey * 9973 % 36000) / 100.0 - 180.0 AS px,
+                     (c_custkey * 9949 % 18000) / 100.0 - 90.0 AS py
+              FROM customer),
+            q AS (SELECT * FROM pts WHERE id >= 1 AND id <= 20),
+            d AS (
+              SELECT q.id AS qid, p.id AS neighbor_id,
+                     (q.px - p.px) * (q.px - p.px) + (q.py - p.py) * (q.py - p.py) AS d2
+              FROM q, pts p WHERE p.id <> q.id)
+            SELECT qid, neighbor_id, rank FROM (
+              SELECT qid, neighbor_id,
+                     row_number() OVER (PARTITION BY qid ORDER BY d2, neighbor_id) AS rank
+              FROM d)
+            WHERE rank <= 5
         """,
         "pip_customers": """
             SELECT c_custkey FROM (
