@@ -21,6 +21,7 @@ order) end-to-end — validated by ``span_sequence_hash``.
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 
 from .util import hash64_str
@@ -145,19 +146,26 @@ def span_sequence_hash(batch: pa.Table) -> pa.Table:
 
     Input: documents batch. Output: (doc_id, span_seq_hash uint64).
     """
+    import pyarrow.compute as pc
+
+    from .util import hash64_arrow
+
     spans_col = batch.column("spans")
     if isinstance(spans_col, pa.ChunkedArray):
         spans_col = spans_col.combine_chunks()
-    rows = spans_col.to_pylist()
-    seqs = [
-        "\x1f".join(
-            f"{s['kind']}\x1e{s['text']}\x1e{s['media_ref']}" for s in (row or [])
-        )
-        for row in rows
-    ]
+    # fully Arrow-side sequence assembly (no per-span Python): fragment
+    # = kind 0x1e text 0x1e media_ref, doc sequence = 0x1f-joined
+    off = spans_col.offsets.to_numpy(zero_copy_only=False)
+    off = (off - off[0]).astype(np.int32)
+    flat = spans_col.flatten()
+    frags = pc.binary_join_element_wise(
+        flat.field("kind"), flat.field("text"), flat.field("media_ref"), "\x1e"
+    )
+    fr_list = pa.ListArray.from_arrays(pa.array(off, pa.int32()), frags)
+    seqs = pc.binary_join(fr_list, "\x1f")
     return pa.table(
         {
             "doc_id": batch.column("doc_id"),
-            "span_seq_hash": pa.array(hash64_str(seqs), pa.uint64()),
+            "span_seq_hash": pa.array(hash64_arrow(seqs), pa.uint64()),
         }
     )

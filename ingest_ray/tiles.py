@@ -546,38 +546,56 @@ def assign_tiles_aggregated(
             }
         )
 
-    agg = pa.concat_tables(
+    # reduce: per-cell combine + stop-tree walk as a DISTRIBUTED
+    # groupby(cell) stage — only compact (cell, path30, count, bigand)
+    # keys shuffle, and the driver collects nothing but the final stop
+    # tables (one row per distinct kept path; strictly smaller than the
+    # pass-2 partials it previously pulled with iter_batches)
+    import pandas as pd
+
+    def cell_walk(df: pd.DataFrame) -> pa.Table:
+        cb = ray.get(bbox_ref)
+        paths_a = df["path30"].to_numpy().astype(np.uint64)
+        counts_a = df["count"].to_numpy().astype(np.int64)
+        bigs_a = df["bigand"].to_numpy().astype(np.uint64)
+        c = int(df["cell"].iloc[0])
+        order = np.argsort(paths_a, kind="stable")
+        ps, cs_, bs = paths_a[order], counts_a[order], bigs_a[order]
+        starts = np.flatnonzero(np.concatenate([[True], ps[1:] != ps[:-1]]))
+        u_path = ps[starts]
+        u_cnt = np.add.reduceat(cs_, starts)
+        u_big = np.bitwise_and.reduceat(bs, starts)
+        fp, dep = _stop_table(u_path, u_cnt, u_big, cb[c][4], leaf_capacity)
+        return pa.table(
+            {
+                "cell": pa.array(np.full(len(u_path), c, dtype=np.int32), pa.int32()),
+                "path30": pa.array(u_path, pa.uint64()),
+                "fin": pa.array(fp.astype(np.int64), pa.int64()),
+                "dep": pa.array(dep.astype(np.int8), pa.int8()),
+            }
+        )
+
+    stop_rows = pa.concat_tables(
         list(
             with_cell.map_batches(paths_partial, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("cell")
+            .map_groups(cell_walk, batch_format="pandas")
             .iter_batches(batch_format="pyarrow", batch_size=1 << 22)
         )
     )
-    cells_a = agg.column("cell").to_numpy(zero_copy_only=False)
-    paths_a = agg.column("path30").to_numpy(zero_copy_only=False)
-    counts_a = agg.column("count").to_numpy(zero_copy_only=False)
-    bigs_a = agg.column("bigand").to_numpy(zero_copy_only=False)
-    order = np.lexsort((paths_a, cells_a))
-    cells_a, paths_a, counts_a, bigs_a = (
-        cells_a[order], paths_a[order], counts_a[order], bigs_a[order]
+    sr_cell = stop_rows.column("cell").to_numpy(zero_copy_only=False)
+    sr_path = stop_rows.column("path30").to_numpy(zero_copy_only=False)
+    sr_fin = stop_rows.column("fin").to_numpy(zero_copy_only=False)
+    sr_dep = stop_rows.column("dep").to_numpy(zero_copy_only=False)
+    order = np.lexsort((sr_path, sr_cell))
+    sr_cell, sr_path, sr_fin, sr_dep = (
+        sr_cell[order], sr_path[order], sr_fin[order], sr_dep[order]
     )
-    starts = np.flatnonzero(
-        np.concatenate([[True], (cells_a[1:] != cells_a[:-1]) | (paths_a[1:] != paths_a[:-1])])
-    )
-    gsz = np.diff(np.concatenate([starts, [len(cells_a)]]))
-    u_cell = cells_a[starts]
-    u_path = paths_a[starts]
-    u_cnt = np.add.reduceat(counts_a, starts)
-    u_big = np.bitwise_and.reduceat(bigs_a, starts)
-
-    # reduce: per-cell stop-tree walk
     stop_tables: dict[int, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
-    cell_starts = np.flatnonzero(np.concatenate([[True], u_cell[1:] != u_cell[:-1]]))
-    cell_ends = np.concatenate([cell_starts[1:], [len(u_cell)]])
+    cell_starts = np.flatnonzero(np.concatenate([[True], sr_cell[1:] != sr_cell[:-1]]))
+    cell_ends = np.concatenate([cell_starts[1:], [len(sr_cell)]])
     for s, e in zip(cell_starts, cell_ends):
-        c = int(u_cell[s])
-        total = cell_bbox[c][4]
-        fp, dep = _stop_table(u_path[s:e], u_cnt[s:e], u_big[s:e], total, leaf_capacity)
-        stop_tables[c] = (u_path[s:e], fp, dep)
+        stop_tables[int(sr_cell[s])] = (sr_path[s:e], sr_fin[s:e], sr_dep[s:e])
     stop_ref = ray.put(stop_tables)
 
     # pass 3: truncate each feature's path via the broadcast stop table

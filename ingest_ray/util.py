@@ -71,16 +71,38 @@ def hash64_str(arr) -> np.ndarray:
     to the scalar FNV-1a (unit-tested).
     """
     n = len(arr)
+    if n == 0:
+        return np.full(0, np.uint64(0xCBF29CE484222325))
+    data = [s.encode("utf-8", "surrogatepass") for s in arr]
+    lens = np.fromiter((len(b) for b in data), dtype=np.int64, count=n)
+    flat = np.frombuffer(b"".join(data), dtype=np.uint8)
+    return _fnv1a_flat(flat, np.cumsum(lens) - lens, lens)
+
+
+def hash64_arrow(arr) -> np.ndarray:
+    """FNV-1a over an Arrow string/binary array — same values as
+    :func:`hash64_str`, but the utf-8 bytes come zero-copy from the
+    Arrow buffers (no per-row encode)."""
+    import pyarrow as pa
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    bufs = arr.buffers()
+    offs = np.frombuffer(bufs[1], dtype=np.int32)[arr.offset : arr.offset + len(arr) + 1]
+    data = (
+        np.frombuffer(bufs[2], dtype=np.uint8) if bufs[2] is not None else np.empty(0, np.uint8)
+    )
+    return _fnv1a_flat(data, offs[:-1].astype(np.int64), np.diff(offs).astype(np.int64))
+
+
+def _fnv1a_flat(flat: np.ndarray, starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    n = len(lens)
     out = np.full(n, np.uint64(0xCBF29CE484222325))
     if n == 0:
         return out
-    data = [s.encode("utf-8", "surrogatepass") for s in arr]
-    lens = np.fromiter((len(b) for b in data), dtype=np.int64, count=n)
     max_len = int(lens.max())
     if max_len == 0:
         return out
-    flat = np.frombuffer(b"".join(data), dtype=np.uint8)
-    starts = np.cumsum(lens) - lens
     prime = np.uint64(0x100000001B3)
     # iterate positions over strings sorted by length: after sorting,
     # the active set at position p is a PREFIX slice — no boolean mask
