@@ -179,6 +179,69 @@ def optimize_to_tiles(
     )
 
 
+def _stage_marker(path: str) -> str:
+    return path + "._committed.json"
+
+
+def _commit_stage(path: str, meta: dict) -> None:
+    tmp = _stage_marker(path) + f".tmp.{os.getpid()}"
+    with open(tmp, "w") as f:
+        json.dump({"version": MANIFEST_VERSION, **meta}, f)
+    os.replace(tmp, _stage_marker(path))
+
+
+def staged_ingest(docs_ds, out_path: str, cfg=None, resume: bool = True):
+    """Stage-checkpointed ingest: documents → elements parquet →
+    features parquet, each stage committed atomically (write to a temp
+    dir, rename, then marker). A killed run resumes from the last
+    committed stage — the analog of the reference persisting its scan
+    index so a restart never re-scans (/root/reference/src/bin.rs:89-112);
+    here a failed ENCODE run additionally skips the parse.
+
+    ``docs_ds`` may be None when the elements stage is already
+    committed (resume never touches the documents). Returns the
+    features Dataset (read from the committed stage).
+    """
+    import shutil
+
+    import ray.data as rd
+
+    from .config import EngineConfig
+    from .elements import elements_all_dataset
+    from .pipeline import ingest_features
+
+    cfg = cfg or EngineConfig()
+    sdir = os.path.join(out_path, "_stage")
+    edir = os.path.join(sdir, "elements")
+    fdir = os.path.join(sdir, "features")
+    os.makedirs(sdir, exist_ok=True)
+
+    if resume and os.path.isfile(_stage_marker(fdir)):
+        return rd.read_parquet(fdir)
+
+    if resume and os.path.isfile(_stage_marker(edir)):
+        all_el = rd.read_parquet(edir)
+    else:
+        if docs_ds is None:
+            raise ValueError("elements stage not committed and no documents given")
+        tmp = edir + f".tmp.{os.getpid()}"
+        shutil.rmtree(tmp, ignore_errors=True)
+        elements_all_dataset(docs_ds).write_parquet(tmp)
+        shutil.rmtree(edir, ignore_errors=True)
+        os.replace(tmp, edir)
+        _commit_stage(edir, {"stage": "elements"})
+        all_el = rd.read_parquet(edir)
+
+    feats = ingest_features(None, cfg, all_el=all_el)
+    tmp = fdir + f".tmp.{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    feats.write_parquet(tmp)
+    shutil.rmtree(fdir, ignore_errors=True)
+    os.replace(tmp, fdir)
+    _commit_stage(fdir, {"stage": "features"})
+    return rd.read_parquet(fdir)
+
+
 def read_tiles(out_path: str):
     """Read the committed tile store back as a Dataset (pruned by the
     manifest, not a blind directory glob)."""

@@ -66,7 +66,14 @@ def cmd_optimize(args) -> int:
 
     gx, gy = (int(v) for v in args.grid.split(","))
     docs = read_documents(args.input)
-    feats = ingest_features(docs, EngineConfig(join_mode=args.join_mode))
+    if getattr(args, "staged", False):
+        from .checkpoint import staged_ingest
+
+        feats = staged_ingest(
+            docs, args.output, EngineConfig(join_mode=args.join_mode), resume=not args.no_resume
+        )
+    else:
+        feats = ingest_features(docs, EngineConfig(join_mode=args.join_mode))
     manifest = optimize_to_tiles(
         feats,
         args.output,
@@ -133,6 +140,11 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--grid", default="8,8", help="X,Y grid divisions")
     p.add_argument("--leaf", type=int, default=50_000, help="tile leaf capacity")
     p.add_argument("--no-resume", action="store_true")
+    p.add_argument(
+        "--staged",
+        action="store_true",
+        help="checkpoint the elements and features stages to parquet so a killed run resumes without reparsing/re-encoding",
+    )
     p.set_defaults(fn=cmd_optimize)
 
     p = sub.add_parser("stats", help="manifest roll-up of a tile store")

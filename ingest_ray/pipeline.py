@@ -18,7 +18,7 @@ from .config import EngineConfig
 from .elements import elements_dataset
 
 
-def ingest_features(documents_ds, config: EngineConfig | None = None):
+def ingest_features(documents_ds, config: EngineConfig | None = None, all_el=None):
     """documents Dataset → features Dataset (lazy).
 
     Branches:
@@ -26,18 +26,23 @@ def ingest_features(documents_ds, config: EngineConfig | None = None):
       ways      → prepare (classify/filter/is_area) → explode refs
                   ⋈ nodes → bucket regroup → encode
       relations → prepare → members ⋈ way-refs ⋈ nodes → regroup → encode
+
+    ``all_el`` (a pre-parsed union element Dataset, e.g. the committed
+    elements stage of ``checkpoint.staged_ingest``) skips the parse.
     """
     cfg = config or EngineConfig()
     branches = []
 
     need_ways = cfg.ingest_way or cfg.ingest_relation
-    if cfg.materialize_elements and need_ways:
+    if all_el is not None or (cfg.materialize_elements and need_ways):
         # parse ONCE: a single read+explode+parse pass over the corpus
         # materializes the union element table; per-kind "tables" are
         # cheap filtered projections of the plasma-resident blocks
         from .elements import elements_all_dataset, kind_view
 
-        all_el = elements_all_dataset(documents_ds).materialize()
+        if all_el is None:
+            all_el = elements_all_dataset(documents_ds)
+        all_el = all_el.materialize()
         nodes_ds = kind_view(all_el, "node")
         ways_ds = kind_view(all_el, "way")
         rels_ds = kind_view(all_el, "relation") if cfg.ingest_relation else None

@@ -2,6 +2,8 @@
 
 import json
 import os
+
+import pytest
 from argparse import Namespace
 
 import pyarrow.parquet as pq
@@ -55,3 +57,40 @@ def test_cli_optimize_and_stats(ray_session, tmp_path, capsys):
     stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert stats["rows"] == res["rows"]
     assert stats["tiles"] == res["tiles"]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_staged_ingest_resume(tmp_path):
+    """A killed encode run resumes from the committed elements stage —
+    the documents are never re-read (docs_ds=None proves it) — and a
+    fully committed run reuses the features stage byte-for-byte."""
+    import os
+    import shutil
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ingest_ray.checkpoint import staged_ingest
+    from ingest_ray.config import EngineConfig
+    from ingest_ray.synth import synth_documents
+
+    out = str(tmp_path / "store")
+    docs = rd.from_arrow(synth_documents(4000))
+    cfg = EngineConfig(join_mode="broadcast")
+
+    def collect(ds):
+        t = pa.concat_tables(list(ds.iter_batches(batch_format="pyarrow", batch_size=1 << 20)))
+        return t.sort_by([("key", "ascending"), ("doc_id", "ascending"), ("span_idx", "ascending")])
+
+    first = collect(staged_ingest(docs, out, cfg))
+
+    # crash between elements and features: features stage gone, elements
+    # committed → resume must succeed WITHOUT documents
+    shutil.rmtree(os.path.join(out, "_stage", "features"))
+    os.remove(os.path.join(out, "_stage", "features._committed.json"))
+    resumed = collect(staged_ingest(None, out, cfg))
+    assert resumed.equals(first)
+
+    # fully committed → returns features without touching documents
+    again = collect(staged_ingest(None, out, cfg))
+    assert again.equals(first)
