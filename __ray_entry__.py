@@ -720,6 +720,22 @@ def q_lsh_ann(sf_dir: str):
     return lsh_topk(queries, table, k=5, nbits=6)
 
 
+def q_ivf_ann(sf_dir: str):
+    """IVF ANN over the embeddings table — Dataset corpus, one
+    centroid-keyed shuffle, no broadcast (recall vs brute force is
+    pinned by tests)."""
+    import ray.data as rd
+
+    from ingest_ray.functions.ann import ivf_topk
+
+    corpus = _read(sf_dir, "embeddings")
+    table = pa.parquet.read_table(
+        os.path.join(sf_dir, "embeddings.parquet")
+    )
+    queries_ds = rd.from_arrow(table.filter(pa.compute.less(table.column("vec_id"), 4)))
+    return ivf_topk(queries_ds, corpus, k=5, nlist=32, nprobe=8)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # relational / generic operators (SQL-oracled)
@@ -761,6 +777,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id_docs": q_lang_id_docs,
         "fingerprint_docs": q_fingerprint_docs,
         "lsh_ann": q_lsh_ann,
+        "ivf_ann": q_ivf_ann,
     }
 
 

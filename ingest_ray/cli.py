@@ -74,14 +74,31 @@ def cmd_optimize(args) -> int:
         )
     else:
         feats = ingest_features(docs, EngineConfig(join_mode=args.join_mode))
-    manifest = optimize_to_tiles(
-        feats,
-        args.output,
-        grid_divs=(gx, gy),
-        leaf_capacity=args.leaf,
-        resume=not args.no_resume,
-    )
-    df = manifest.to_pandas()
+    if getattr(args, "progress", False):
+        from .progress import ProgressTracker
+
+        prog = ProgressTracker()
+        feats = feats.map_batches(
+            prog.wrap(lambda b: b, "features"), batch_format="pyarrow", zero_copy_batch=True
+        )
+        with prog.observe(interval_s=1.0):
+            manifest = optimize_to_tiles(
+                feats,
+                args.output,
+                grid_divs=(gx, gy),
+                leaf_capacity=args.leaf,
+                resume=not args.no_resume,
+            )
+            df = manifest.to_pandas()
+    else:
+        manifest = optimize_to_tiles(
+            feats,
+            args.output,
+            grid_divs=(gx, gy),
+            leaf_capacity=args.leaf,
+            resume=not args.no_resume,
+        )
+        df = manifest.to_pandas()
     print(
         json.dumps(
             {
@@ -140,6 +157,7 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--grid", default="8,8", help="X,Y grid divisions")
     p.add_argument("--leaf", type=int, default=50_000, help="tile leaf capacity")
     p.add_argument("--no-resume", action="store_true")
+    p.add_argument("--progress", action="store_true", help="print 1 Hz per-stage progress lines (A3 observer)")
     p.add_argument(
         "--staged",
         action="store_true",

@@ -84,6 +84,131 @@ def brute_force_topk(corpus_ds, queries_table: pa.Table, k: int = 5):
     return partials.groupby("qid").map_groups(merge, batch_format="pandas")
 
 
+def _kmeans_cosine(mat: np.ndarray, nlist: int, iters: int = 8, seed: int = 42) -> np.ndarray:
+    """Deterministic spherical k-means (cosine) for IVF coarse
+    quantization — seeded init, fixed iteration count."""
+    rng = np.random.default_rng(seed)
+    matn = _normalize(mat)
+    nlist = min(nlist, len(matn))
+    cent = matn[rng.choice(len(matn), size=nlist, replace=False)].copy()
+    for _ in range(iters):
+        centn = _normalize(cent)
+        assign = np.argmax(matn @ centn.T, axis=1)
+        for c in range(nlist):
+            m = assign == c
+            if m.any():
+                cent[c] = matn[m].mean(axis=0)
+    return _normalize(cent)
+
+
+def ivf_topk(
+    queries_ds,
+    corpus_ds,
+    k: int = 5,
+    nlist: int = 64,
+    nprobe: int = 8,
+    seed: int = 42,
+    train_sample: int = 4096,
+):
+    """IVF ANN with a DATASET corpus — the scale path: the corpus is
+    never collected or broadcast. Coarse centroids are trained on a
+    small driver-side sample (the only collected data, size-bounded),
+    then ONE shuffle keyed by inverted-list id co-locates each query
+    (replicated to its ``nprobe`` nearest lists) with that list's
+    corpus vectors; per-list exact cosine re-rank, then a tiny
+    per-query merge. Approximate — recall vs :func:`brute_force_topk`
+    is pinned by tests.
+    """
+    import pyarrow.parquet  # noqa: F401
+
+    sample_rows = corpus_ds.limit(train_sample).take_all()
+    s_tbl = pa.Table.from_pylist(sample_rows)
+    _, s_mat = _emb_matrix(s_tbl)
+    cent = _kmeans_cosine(s_mat, nlist, seed=seed)
+    cent_ref = ray.put(cent)
+    EMB = pa.list_(pa.float32())
+
+    def corpus_side(batch: pa.Table) -> pa.Table:
+        c = ray.get(cent_ref)
+        ids, mat = _emb_matrix(batch)
+        matn = _normalize(mat)
+        lid = np.argmax(matn @ c.T, axis=1).astype(np.int32)
+        col = batch.column("embedding")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        return pa.table(
+            {
+                "lid": pa.array(lid, pa.int32()),
+                "is_q": pa.array(np.zeros(len(ids), dtype=bool), pa.bool_()),
+                "id": pa.array(ids, pa.int64()),
+                "emb": col.cast(EMB),
+            }
+        )
+
+    def query_side(batch: pa.Table) -> pa.Table:
+        c = ray.get(cent_ref)
+        qids, qmat = _emb_matrix(batch)
+        qn = _normalize(qmat)
+        sims = qn @ c.T
+        npb = min(nprobe, sims.shape[1])
+        probes = np.argpartition(-sims, npb - 1, axis=1)[:, :npb].astype(np.int32)
+        col = batch.column("embedding")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        rep = pa.array(np.repeat(np.arange(len(qids)), npb), pa.int64())
+        return pa.table(
+            {
+                "lid": pa.array(probes.reshape(-1), pa.int32()),
+                "is_q": pa.array(np.ones(len(qids) * npb, dtype=bool), pa.bool_()),
+                "id": pa.array(np.repeat(qids, npb), pa.int64()),
+                "emb": col.cast(EMB).take(rep),
+            }
+        )
+
+    unioned = corpus_ds.map_batches(corpus_side, batch_format="pyarrow", zero_copy_batch=True).union(
+        queries_ds.map_batches(query_side, batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+    def per_list(df: pd.DataFrame) -> pa.Table:
+        is_q = df["is_q"].to_numpy(dtype=bool)
+        empty = pa.table(
+            {"qid": pa.array([], pa.int64()), "vec_id": pa.array([], pa.int64()),
+             "cos": pa.array([], pa.float64())}
+        )
+        if not is_q.any() or is_q.all():
+            return empty
+        c_ids = df["id"].to_numpy()[~is_q].astype(np.int64)
+        c_mat = _normalize(np.stack([np.asarray(v, dtype=np.float64) for v in df["emb"][~is_q]]))
+        q_ids = df["id"].to_numpy()[is_q].astype(np.int64)
+        q_mat = _normalize(np.stack([np.asarray(v, dtype=np.float64) for v in df["emb"][is_q]]))
+        sims = q_mat @ c_mat.T
+        kk = min(k, sims.shape[1])
+        out_q, out_v, out_c = [], [], []
+        for i in range(len(q_ids)):
+            order = np.lexsort((c_ids, -sims[i]))[:kk]
+            out_q += [int(q_ids[i])] * len(order)
+            out_v += [int(x) for x in c_ids[order]]
+            out_c += [float(x) for x in sims[i][order]]
+        return pa.table(
+            {
+                "qid": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_v, pa.int64()),
+                "cos": pa.array(out_c, pa.float64()),
+            }
+        )
+
+    partials = unioned.groupby("lid").map_groups(per_list, batch_format="pandas")
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates(["qid", "vec_id"])
+        df = df.sort_values(["cos", "vec_id"], ascending=[False, True]).head(k)
+        df = df.reset_index(drop=True)
+        df["rank"] = np.arange(len(df), dtype=np.int64)
+        return df[["qid", "vec_id", "rank"]]
+
+    return partials.groupby("qid").map_groups(merge, batch_format="pandas")
+
+
 class _LshIndexActor:
     """Actor-pool stage: hyperplane-LSH bucketed candidate search.
 

@@ -155,3 +155,32 @@ def test_dedup_assign_invariants(ray_session, corpus):
     vb = verify_jaccard_pairs(cands, corpus, threshold=0.5).to_pandas()
     for a, b in zip(vb["a"], vb["b"]):
         assert m[a] == m[b]
+
+
+def test_ivf_ann_recall(ray_session):
+    """IVF (Dataset corpus, centroid-keyed shuffle) must reach high
+    recall vs the exact brute-force baseline on clustered embeddings."""
+    import ray.data as rd
+
+    from ingest_ray.functions.ann import brute_force_topk, ivf_topk
+
+    rng = np.random.default_rng(3)
+    centers = rng.standard_normal((8, 16))
+    vecs = []
+    for i in range(400):
+        vecs.append(centers[i % 8] + 0.1 * rng.standard_normal(16))
+    mat = np.asarray(vecs, dtype=np.float32)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(np.arange(400), pa.int64()),
+            "embedding": pa.array([list(map(float, v)) for v in mat], pa.list_(pa.float32())),
+        }
+    )
+    corpus = rd.from_arrow(tbl)
+    queries = rd.from_arrow(tbl.slice(0, 10))
+    exact = brute_force_topk(corpus, tbl.slice(0, 10), k=5).to_pandas()
+    approx = ivf_topk(queries, corpus, k=5, nlist=16, nprobe=4, train_sample=400).to_pandas()
+    e = {(r.qid, r.vec_id) for r in exact.itertuples()}
+    a = {(r.qid, r.vec_id) for r in approx.itertuples()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.9, recall

@@ -126,3 +126,32 @@ def test_bbox_reduceat():
     out = bbox_reduceat(vals, offsets)
     assert out[0].tolist() == [-1.0, 0.0, 1.0, 5.0]
     assert out[1].tolist() == [3.0, 3.0, 3.0, 3.0]
+
+
+def test_progress_tracker(ray_session):
+    """A3 observer: wrapped stages report counts; rates appear after
+    two samples; the data path is untouched."""
+    import time
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ingest_ray.progress import ProgressTracker
+
+    prog = ProgressTracker()
+    ds = rd.range(1000, override_num_blocks=4)
+
+    def double(b: pa.Table) -> pa.Table:
+        return b
+
+    out = ds.map_batches(prog.wrap(double, "double"), batch_format="pyarrow").materialize()
+    assert out.count() == 1000
+    time.sleep(0.3)  # fire-and-forget adds drain
+    s1 = prog.sample()
+    assert s1["counts"].get("double") == 1000
+    s2 = prog.sample()
+    assert "double" in s2["rates_per_s"]
+    lines = []
+    with prog.observe(interval_s=0.05, emit=lines.append):
+        time.sleep(0.15)
+    assert len(lines) >= 2
