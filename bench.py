@@ -48,7 +48,7 @@ def corpus_path(sf: float) -> str:
     """Deterministic synthetic corpus, cached per scale — a directory
     of part files so the read plans one task per file."""
     n = max(2_000, int(BENCH_ELEMENTS_PER_SF * sf))
-    path = f"/tmp/ingest_ray_bench/corpus_v2_n{n}"
+    path = f"/tmp/ingest_ray_bench/corpus_v3_n{n}"
     if not os.path.isdir(path):
         from ingest_ray.synth import write_corpus
 
@@ -136,7 +136,7 @@ def run_scaling(sf_dir: str) -> None:
     size) zone-map broadcast path is the throughput headline in the
     default suite."""
     n = SCALING_ELEMENTS
-    corpus = f"/tmp/ingest_ray_bench/corpus_v2_n{n}"
+    corpus = f"/tmp/ingest_ray_bench/corpus_v3_n{n}"
     if not os.path.isdir(corpus):
         from ingest_ray.synth import write_corpus
 

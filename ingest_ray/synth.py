@@ -66,26 +66,31 @@ def _wrap_documents(geo_spans: list[tuple[str, str]], spans_per_doc: int = 4) ->
     slices: a single pa.array over >2GB of strings chunks, which
     StructArray.from_arrays rejects.
     """
-    n = len(geo_spans)
+    if isinstance(geo_spans, tuple):
+        kinds, texts = geo_spans  # pre-built arrays (vectorized caller)
+    else:
+        kinds = np.array([k for k, _t in geo_spans], dtype=object)
+        texts = np.array([t for _k, t in geo_spans], dtype=object)
+    n = len(kinds)
     if n == 0:
         return DOCUMENTS_SCHEMA.empty_table()
     SLICE = 4_000_000 // spans_per_doc * spans_per_doc
     if n > SLICE:
         parts = [
-            _wrap_chunk(geo_spans[lo : lo + SLICE], lo, spans_per_doc)
+            _wrap_chunk(kinds[lo : lo + SLICE], texts[lo : lo + SLICE], lo, spans_per_doc)
             for lo in range(0, n, SLICE)
         ]
         # stay chunked: combining >2GB of string data overflows the
         # int32 offsets of pa.string()
         return pa.concat_tables(parts)
-    return _wrap_chunk(geo_spans, 0, spans_per_doc)
+    return _wrap_chunk(kinds, texts, 0, spans_per_doc)
 
 
-def _wrap_chunk(geo_spans: list[tuple[str, str]], g0: int, spans_per_doc: int) -> pa.Table:
+def _wrap_chunk(kinds: np.ndarray, texts: np.ndarray, g0: int, spans_per_doc: int) -> pa.Table:
     """One doc-aligned slice of :func:`_wrap_documents` (``g0`` = global
     index of the slice's first geo span; must be a multiple of
     ``spans_per_doc``)."""
-    n = len(geo_spans)
+    n = len(kinds)
     g = np.arange(g0, g0 + n, dtype=np.int64)
     doc_idx_g = g // spans_per_doc  # global doc number (hash + id source)
     doc_lo = g0 // spans_per_doc
@@ -100,7 +105,7 @@ def _wrap_chunk(geo_spans: list[tuple[str, str]], g0: int, spans_per_doc: int) -
     pos = np.cumsum(counts) - counts  # first output slot of each geo span
     total = int(counts.sum())
 
-    geo_texts = [t for _k, t in geo_spans]
+    geo_texts = texts
     glen = np.fromiter((len(t) for t in geo_texts), dtype=np.int64, count=n)
     flen = np.where(has_filler, 18 + np.char.str_len(g.astype("U20")), 0)
     # per-doc running character offset before each geo span
@@ -129,7 +134,7 @@ def _wrap_chunk(geo_spans: list[tuple[str, str]], g0: int, spans_per_doc: int) -
     out_off[m_pos] = (pre + flen)[has_media]
 
     g_pos = pos + has_filler + has_media
-    out_kind[g_pos] = [k for k, _t in geo_spans]
+    out_kind[g_pos] = kinds
     out_text[g_pos] = geo_texts
     out_off[g_pos] = pre + flen
 
@@ -170,7 +175,7 @@ def _u01(h: np.ndarray) -> np.ndarray:
     return (h >> np.uint64(11)).astype(np.float64) / float(1 << 53)
 
 
-def synth_elements(n: int, seed: int = 42, hotspot_frac: float = 0.2):
+def synth_elements(n: int, seed: int = 42, hotspot_frac: float = 0.2, _docs_form: bool = False):
     """n elements → (nodes, ways, relations) numpy-backed dicts.
 
     Nodes on a jittered grid over [-180,180]×[-90,90]; ``hotspot_frac``
@@ -203,33 +208,38 @@ def synth_elements(n: int, seed: int = 42, hotspot_frac: float = 0.2):
     way_id_base = 10_000_000_000
     lon_r = nodes["lon"]
     lat_r = nodes["lat"]
-    for i in range(4, n, 5):
-        k = 4 + int(h1[i] % np.uint64(9))  # 4..12 vertices
-        lo = max(0, i - k)
-        if i - lo < 3:
-            continue
-        # order the ring vertices by angle around their centroid so the
-        # polygon is SIMPLE — real OSM areas (buildings, parks, lakes)
-        # are simple polygons; random vertex order yields star-crossed
-        # self-intersecting rings that drive every triangulation into
-        # earcut's worst-case local-intersection/split fallback, which
-        # is not a representative workload. Same vertex set → same
-        # resolved/distinct counts and bboxes; only ring order differs.
-        span = np.arange(lo, i)
-        vx = lon_r[span]
-        vy = lat_r[span]
-        ang = np.arctan2(vy - vy.mean(), vx - vx.mean())
-        ring = [int(node_ids[j]) for j in span[np.argsort(ang, kind="stable")]]
-        ring = ring + [ring[0]]
-        tags = [("leisure", "park"), ("name", f"park {i}")] if int(h2[i] % np.uint64(10)) == 0 else []
-        ways.append((way_id_base + i, ring, tags))
+    # order each ring's vertices by angle around their centroid so the
+    # polygon is SIMPLE — real OSM areas (buildings, parks, lakes) are
+    # simple polygons; random vertex order yields star-crossed
+    # self-intersecting rings that drive every triangulation into
+    # earcut's worst-case split fallback (not a representative
+    # workload). Ring construction is one global lexsort over all ways
+    # (the per-way loop dominated corpus generation at 60M elements).
+    way_el = np.arange(4, n, 5, dtype=np.int64)
+    kk = 4 + (h1[way_el] % np.uint64(9)).astype(np.int64)
+    lo = np.maximum(0, way_el - kk)
+    L = way_el - lo
+    m = L >= 3
+    way_el, lo, L = way_el[m], lo[m], L[m]
+    offs = np.concatenate([[0], np.cumsum(L)])
+    total = int(offs[-1])
+    way_of = np.repeat(np.arange(len(way_el)), L)
+    flat_idx = np.repeat(lo, L) + (np.arange(total, dtype=np.int64) - np.repeat(offs[:-1], L))
+    vx = lon_r[flat_idx]
+    vy = lat_r[flat_idx]
+    starts = offs[:-1]
+    mx = np.add.reduceat(vx, starts) / L
+    my = np.add.reduceat(vy, starts) / L
+    ang = np.arctan2(vy - my[way_of], vx - mx[way_of])
+    order = np.lexsort((ang, way_of))
+    ring_flat = node_ids[flat_idx[order]]
+    park = (h2[way_el] % np.uint64(10)) == 0
+    way_ids_arr = way_id_base + way_el
 
     relations = []
     rel_id_base = 20_000_000_000
-    way_index = {w[0]: w for w in ways}
-    way_ids = [w[0] for w in ways]
-    for i in range(0, len(way_ids) - 1, 10):
-        outer, inner = way_ids[i], way_ids[i + 1]
+    for i in range(0, len(way_ids_arr) - 1, 10):
+        outer, inner = int(way_ids_arr[i]), int(way_ids_arr[i + 1])
         relations.append(
             (
                 rel_id_base + i,
@@ -237,25 +247,84 @@ def synth_elements(n: int, seed: int = 42, hotspot_frac: float = 0.2):
                 [("type", "multipolygon"), ("natural", "water"), ("name", f"lake {i}")],
             )
         )
-    del way_index
+
+    if _docs_form:
+        # vectorized ways struct for Arrow-side serialization: flat ring
+        # ids WITH the closing duplicate, one scatter (no per-way loop)
+        offs2 = np.concatenate([[0], np.cumsum(L + 1)])
+        flat2 = np.empty(int(offs2[-1]), dtype=np.int64)
+        flat2[np.arange(total, dtype=np.int64) + way_of] = ring_flat
+        flat2[offs2[1:] - 1] = ring_flat[offs[:-1]]
+        ways_v = {
+            "id": way_ids_arr,
+            "el": way_el,
+            "park": park,
+            "ring_flat": flat2,
+            "offs": offs2,
+        }
+        return nodes, ways_v, relations
+
+    for w in range(len(way_el)):
+        i = int(way_el[w])
+        ring = ring_flat[offs[w] : offs[w + 1]].tolist()
+        ring.append(ring[0])
+        tags = [("leisure", "park"), ("name", f"park {i}")] if park[w] else []
+        ways.append((way_id_base + i, ring, tags))
     return nodes, ways, relations
 
 
 def synth_documents(n: int, seed: int = 42, hotspot_frac: float = 0.2, spans_per_doc: int = 4) -> pa.Table:
-    """Seeded synthetic corpus as an interleaved documents table."""
-    nodes, ways, relations = synth_elements(n, seed, hotspot_frac)
-    geo: list[tuple[str, str]] = []
+    """Seeded synthetic corpus as an interleaved documents table.
+
+    Element line serialization is Arrow-vectorized (cast + string join
+    kernels) — the per-element f-string loop dominated corpus
+    generation beyond ~30M elements. Number formatting uses Arrow's
+    shortest round-trip cast, so parsed element VALUES are identical to
+    the scalar serializers (pinned by test); byte formats may differ
+    ('0' vs '0.0'), which only versioned corpus caches care about.
+    """
+    import pyarrow.compute as pc
+
+    nodes, ways, relations = synth_elements(n, seed, hotspot_frac, _docs_form=True)
     n_nodes = len(nodes["id"])
-    for i in range(n_nodes):
-        tags = [("amenity", "cafe"), ("name", f"node {i}")] if nodes["tagged"][i] else []
-        geo.append(
-            ("node", serialize_node(int(nodes["id"][i]), float(nodes["lon"][i]), float(nodes["lat"][i]), tags))
-        )
-    for wid, refs, tags in ways:
-        geo.append(("way", serialize_way(wid, refs, tags)))
-    for rid, members, tags in relations:
-        geo.append(("relation", serialize_relation(rid, members, tags)))
-    return _wrap_documents(geo, spans_per_doc=spans_per_doc)
+
+    def cat(*parts):
+        return pc.binary_join_element_wise(*parts, "")
+
+    ids_s = pc.cast(pa.array(nodes["id"]), pa.string())
+    lon_s = pc.cast(pa.array(nodes["lon"]), pa.string())
+    lat_s = pc.cast(pa.array(nodes["lat"]), pa.string())
+    idx_s = pc.cast(pa.array(np.arange(n_nodes, dtype=np.int64)), pa.string())
+    node_tags = pc.if_else(
+        pa.array(nodes["tagged"]),
+        cat("amenity=cafe;name=node ", idx_s),
+        pa.scalar(""),
+    )
+    node_txt = cat("node|id=", ids_s, "|lon=", lon_s, "|lat=", lat_s, "|tags=", node_tags)
+
+    wv = ways  # vectorized ways struct (see synth_elements _docs_form)
+    wid_s = pc.cast(pa.array(wv["id"]), pa.string())
+    flat_s = pc.cast(pa.array(wv["ring_flat"]), pa.string())
+    refs_join = pc.binary_join(
+        pa.ListArray.from_arrays(pa.array(wv["offs"].astype(np.int32), pa.int32()), flat_s), ","
+    )
+    el_s = pc.cast(pa.array(wv["el"]), pa.string())
+    way_tags = pc.if_else(
+        pa.array(wv["park"]), cat("leisure=park;name=park ", el_s), pa.scalar("")
+    )
+    way_txt = cat("way|id=", wid_s, "|refs=", refs_join, "|tags=", way_tags)
+
+    rel_txt = [serialize_relation(rid, members, tags) for rid, members, tags in relations]
+
+    kinds = np.empty(n_nodes + len(wv["id"]) + len(rel_txt), dtype=object)
+    texts = np.empty(len(kinds), dtype=object)
+    kinds[:n_nodes] = "node"
+    texts[:n_nodes] = node_txt.to_numpy(zero_copy_only=False)
+    kinds[n_nodes : n_nodes + len(wv["id"])] = "way"
+    texts[n_nodes : n_nodes + len(wv["id"])] = way_txt.to_numpy(zero_copy_only=False)
+    kinds[n_nodes + len(wv["id"]) :] = "relation"
+    texts[n_nodes + len(wv["id"]) :] = rel_txt
+    return _wrap_documents((kinds, texts), spans_per_doc=spans_per_doc)
 
 
 def write_corpus(
