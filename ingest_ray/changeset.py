@@ -35,6 +35,50 @@ from .elements import NODES_SCHEMA, RELATIONS_SCHEMA, WAYS_SCHEMA
 _KIND_NUM = {"node": 0, "way": 1, "relation": 2}
 
 
+def parse_osm_change_xml(text: str) -> list[dict]:
+    """osmChange XML → the ``changes`` list :func:`apply_changeset`
+    consumes ({op, kind, element}).
+
+    The reference's changeset fixtures are osmChange documents
+    (/root/reference/tests/data/0/changeset{0-3}.xml; the o5c binaries
+    are the same content). Delete entries may be bare ids; node/way/
+    relation children follow OSM XML (<nd ref>, <member>, <tag k v>).
+    """
+    import xml.etree.ElementTree as ET
+
+    root = ET.fromstring(text)
+    changes: list[dict] = []
+    for op_el in root:
+        op = op_el.tag  # create | modify | delete
+        if op not in ("create", "modify", "delete"):
+            continue
+        for el in op_el:
+            kind = el.tag
+            if kind not in _KIND_NUM:
+                continue
+            elem: dict = {"id": int(el.attrib["id"])}
+            tags = [(t.attrib["k"], t.attrib["v"]) for t in el.findall("tag")]
+            if tags or op != "delete":
+                elem["tags"] = tags
+            if kind == "node":
+                if "lon" in el.attrib:
+                    elem["lon"] = float(el.attrib["lon"])
+                    elem["lat"] = float(el.attrib["lat"])
+            elif kind == "way":
+                elem["refs"] = [int(nd.attrib["ref"]) for nd in el.findall("nd")]
+            else:
+                elem["members"] = [
+                    {
+                        "mtype": m.attrib["type"],
+                        "role": m.attrib.get("role", ""),
+                        "ref": int(m.attrib["ref"]),
+                    }
+                    for m in el.findall("member")
+                ]
+            changes.append({"op": op, "kind": kind, "element": elem})
+    return changes
+
+
 def _ids_of(changes: list[dict], kind: str, ops: tuple[str, ...]) -> np.ndarray:
     out = [c["element"]["id"] for c in changes if c["kind"] == kind and c["op"] in ops]
     return np.array(sorted(set(out)), dtype=np.int64)

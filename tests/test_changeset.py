@@ -179,3 +179,32 @@ def test_changeset_rounds_1_to_3():
     assert np.float32(castle["maxy"]) == np.float32(15.020)
     # untagged member ways emit no features of their own
     assert 4000 * 3 + 1 not in rows and 4002 * 3 + 1 not in rows
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_osm_change_xml_rounds_match_dict_rounds():
+    """Parsing the reference's own osmChange fixture files must produce
+    the same final store as the hand-written round dicts."""
+    import ray.data as rd
+
+    from ingest_ray.changeset import parse_osm_change_xml
+
+    cfg = EngineConfig(join_mode="broadcast")
+    docs = rd.from_arrow(__import__("ingest_ray.synth", fromlist=["golden_documents"]).golden_documents())
+
+    def run(rounds):
+        current = _collect(ingest_features(docs, cfg))
+        state = None
+        for changes in rounds:
+            delta, removed, state = apply_changeset(docs, changes, cfg, element_tables=state)
+            delta_t = _collect(delta) if delta is not None else current.schema.empty_table()
+            current = merge_features(current, delta_t, removed)
+        return sorted((r["key"], bytes(r["payload"])) for r in current.to_pylist())
+
+    xml_rounds = []
+    for i in range(4):
+        with open(f"/root/reference/tests/data/0/changeset{i}.xml") as f:
+            xml_rounds.append(parse_osm_change_xml(f.read()))
+    from ingest_ray.changeset import GOLDEN_ROUND1, GOLDEN_ROUND2, GOLDEN_ROUND3
+
+    assert run(xml_rounds) == run([CHANGES0, GOLDEN_ROUND1, GOLDEN_ROUND2, GOLDEN_ROUND3])
