@@ -119,7 +119,7 @@ def run_worker(num_cpus: int, sf_dir: str, corpus: str | None = None, join_mode:
     print("WORKER_RESULT " + json.dumps(res))
 
 
-SCALING_ELEMENTS = int(os.environ.get("GRAFT_SCALING_ELEMENTS", "30000000"))
+SCALING_ELEMENTS = int(os.environ.get("GRAFT_SCALING_ELEMENTS", "60000000"))
 SCALING_REPEATS = int(os.environ.get("GRAFT_SCALING_REPEATS", "1"))
 
 
@@ -259,6 +259,9 @@ def suite(sf_dir: str) -> dict[str, float]:
         "knn_geo_synth",
         "pip_geo_synth",
         "raster_vector_synth",
+        "pip_geo_part",
+        "knn_geo_part",
+        "ivf_ann",
     ):
         q = E.queries()[name]
         timed(name, lambda q=q: consume(q(sf_dir)))
