@@ -74,8 +74,10 @@ def flagship(sf_dir: str, out_dir: str, corpus: str | None = None, join_mode: st
     # auto join mode picks the zone-map broadcast path below 50M nodes
     # and the distributed hash join beyond; --scaling forces "shuffle"
     # to measure the planet-scale path (see run_scaling).
-    feats = ingest_features(docs, EngineConfig(join_mode=join_mode, num_partitions=32))
-    feats = feats.map_batches(add_cell_columns, batch_format="pyarrow", zero_copy_batch=True)
+    feats = ingest_features(
+        docs,
+        EngineConfig(join_mode=join_mode, num_partitions=32, post_map=add_cell_columns),
+    )  # cell columns fuse into the encode branches (no extra pass)
     manifest = optimize_to_tiles(
         feats, out_dir, grid_divs=(8, 8), leaf_capacity=2048, resume=False
     )

@@ -28,6 +28,10 @@ class EngineConfig:
     # single-pass element parse the streaming union DAG no longer
     # thrashes, so the default is one streaming DAG (fewer barriers)
     eager_branches: bool = True
+    # optional batch transform fused into every branch BEFORE its
+    # materialize (e.g. cells.add_cell_columns) — avoids a separate
+    # full pass + materialize over the features downstream
+    post_map: object = None
 
     # batching (reference: CH_TAKE_LEN 10k / BATCH_SEND 10k / BATCH 100k)
     parse_batch_size: int = 4096  # documents per parse batch

@@ -147,6 +147,11 @@ def ingest_features(documents_ds, config: EngineConfig | None = None, all_el=Non
                 )
         if not branches:
             raise ValueError("all element kinds disabled")
+        if cfg.post_map is not None:
+            branches = [
+                b.map_batches(cfg.post_map, batch_format="pyarrow", zero_copy_batch=True)
+                for b in branches
+            ]
         if cfg.eager_branches:
             branches = [b.materialize() for b in branches]
         out = branches[0]
@@ -191,6 +196,11 @@ def ingest_features(documents_ds, config: EngineConfig | None = None, all_el=Non
                 batch_size=cfg.relation_encode_batch_size,
             )
         )
+        if cfg.post_map is not None:
+            branches = [
+                b.map_batches(cfg.post_map, batch_format="pyarrow", zero_copy_batch=True)
+                for b in branches
+            ]
         if cfg.eager_branches:
             branches = [b.materialize() for b in branches]
         out = branches[0]
@@ -244,6 +254,11 @@ def ingest_features(documents_ds, config: EngineConfig | None = None, all_el=Non
 
     if not branches:
         raise ValueError("all element kinds disabled")
+    if cfg.post_map is not None:
+        branches = [
+            b.map_batches(cfg.post_map, batch_format="pyarrow", zero_copy_batch=True)
+            for b in branches
+        ]
     if cfg.eager_branches:
         # run the branches one at a time: the streaming executor juggling
         # all three complex branches of one union DAG measurably thrashes
