@@ -820,6 +820,48 @@ def _hex_cell_oracle_sql() -> str:
     """
 
 
+def _lang_id_oracle_sql() -> str:
+    """SQL twin of functions.text.lang_id_batch: distinct lowered
+    whitespace tokens ⋈ the stopword lists, score = |hits|/|list|,
+    winner by (score, lang) descending — matching Python's
+    max(..., key=(score, lang)) tie-break; zero hits → 'und'."""
+    from ingest_ray.functions.text import _LANG_STOPWORDS
+
+    vals = ",".join(
+        f"('{l}', '{w}')" for l, sws in sorted(_LANG_STOPWORDS.items()) for w in sorted(sws)
+    )
+    sizes = ",".join(f"('{l}', {len(sws)})" for l, sws in sorted(_LANG_STOPWORDS.items()))
+    return f"""
+        WITH sw(lang, word) AS (VALUES {vals}),
+        sz(lang, n_sw) AS (VALUES {sizes}),
+        words AS (
+          SELECT doc_id, lower(unnest(string_split_regex(trim(coalesce(text,'')), '\\s+'))) AS w
+          FROM documents
+          WHERE trim(coalesce(text,'')) <> ''
+        ),
+        dw AS (SELECT DISTINCT doc_id, w FROM words),
+        hits AS (
+          SELECT d.doc_id, s.lang, count(*) AS n
+          FROM dw d JOIN sw s ON d.w = s.word
+          GROUP BY d.doc_id, s.lang
+        ),
+        scores AS (
+          SELECT docs.doc_id, sz.lang,
+                 coalesce(h.n, 0) * 1.0 / sz.n_sw AS score
+          FROM (SELECT DISTINCT doc_id FROM documents) docs
+          CROSS JOIN sz
+          LEFT JOIN hits h ON h.doc_id = docs.doc_id AND h.lang = sz.lang
+        ),
+        best AS (
+          SELECT doc_id, lang, score,
+                 row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang DESC) AS rn
+          FROM scores
+        )
+        SELECT doc_id, CASE WHEN score > 0 THEN lang ELSE 'und' END AS lang_pred
+        FROM best WHERE rn = 1
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "q1_lineitem": """
@@ -918,6 +960,7 @@ def oracle_sql() -> dict[str, str]:
             FROM customer GROUP BY cell
         """,
         "hex_cell_customers": _hex_cell_oracle_sql(),
+        "lang_id_docs": _lang_id_oracle_sql(),
         "knn_customers": """
             WITH pts AS (
               SELECT c_custkey AS id,
