@@ -291,39 +291,53 @@ def synth_documents(n: int, seed: int = 42, hotspot_frac: float = 0.2, spans_per
     def cat(*parts):
         return pc.binary_join_element_wise(*parts, "")
 
-    ids_s = pc.cast(pa.array(nodes["id"]), pa.string())
-    lon_s = pc.cast(pa.array(nodes["lon"]), pa.string())
-    lat_s = pc.cast(pa.array(nodes["lat"]), pa.string())
-    idx_s = pc.cast(pa.array(np.arange(n_nodes, dtype=np.int64)), pa.string())
-    node_tags = pc.if_else(
-        pa.array(nodes["tagged"]),
-        cat("amenity=cafe;name=node ", idx_s),
-        pa.scalar(""),
-    )
-    node_txt = cat("node|id=", ids_s, "|lon=", lon_s, "|lat=", lat_s, "|tags=", node_tags)
+    SLICE = 8_000_000  # a single Arrow string array caps at 2GB; slice
+
+    def node_texts(a: int, b: int) -> np.ndarray:
+        ids_s = pc.cast(pa.array(nodes["id"][a:b]), pa.string())
+        lon_s = pc.cast(pa.array(nodes["lon"][a:b]), pa.string())
+        lat_s = pc.cast(pa.array(nodes["lat"][a:b]), pa.string())
+        idx_s = pc.cast(pa.array(np.arange(a, b, dtype=np.int64)), pa.string())
+        tags_s = pc.if_else(
+            pa.array(nodes["tagged"][a:b]),
+            cat("amenity=cafe;name=node ", idx_s),
+            pa.scalar(""),
+        )
+        out = cat("node|id=", ids_s, "|lon=", lon_s, "|lat=", lat_s, "|tags=", tags_s)
+        return out.to_numpy(zero_copy_only=False)
 
     wv = ways  # vectorized ways struct (see synth_elements _docs_form)
-    wid_s = pc.cast(pa.array(wv["id"]), pa.string())
-    flat_s = pc.cast(pa.array(wv["ring_flat"]), pa.string())
-    refs_join = pc.binary_join(
-        pa.ListArray.from_arrays(pa.array(wv["offs"].astype(np.int32), pa.int32()), flat_s), ","
-    )
-    el_s = pc.cast(pa.array(wv["el"]), pa.string())
-    way_tags = pc.if_else(
-        pa.array(wv["park"]), cat("leisure=park;name=park ", el_s), pa.scalar("")
-    )
-    way_txt = cat("way|id=", wid_s, "|refs=", refs_join, "|tags=", way_tags)
+
+    def way_texts(a: int, b: int) -> np.ndarray:
+        wid_s = pc.cast(pa.array(wv["id"][a:b]), pa.string())
+        lo_, hi_ = int(wv["offs"][a]), int(wv["offs"][b])
+        flat_s = pc.cast(pa.array(wv["ring_flat"][lo_:hi_]), pa.string())
+        offs = (wv["offs"][a : b + 1] - lo_).astype(np.int32)
+        refs_join = pc.binary_join(
+            pa.ListArray.from_arrays(pa.array(offs, pa.int32()), flat_s), ","
+        )
+        el_s = pc.cast(pa.array(wv["el"][a:b]), pa.string())
+        tags_s = pc.if_else(
+            pa.array(wv["park"][a:b]), cat("leisure=park;name=park ", el_s), pa.scalar("")
+        )
+        out = cat("way|id=", wid_s, "|refs=", refs_join, "|tags=", tags_s)
+        return out.to_numpy(zero_copy_only=False)
 
     rel_txt = [serialize_relation(rid, members, tags) for rid, members, tags in relations]
 
-    kinds = np.empty(n_nodes + len(wv["id"]) + len(rel_txt), dtype=object)
+    n_ways = len(wv["id"])
+    kinds = np.empty(n_nodes + n_ways + len(rel_txt), dtype=object)
     texts = np.empty(len(kinds), dtype=object)
     kinds[:n_nodes] = "node"
-    texts[:n_nodes] = node_txt.to_numpy(zero_copy_only=False)
-    kinds[n_nodes : n_nodes + len(wv["id"])] = "way"
-    texts[n_nodes : n_nodes + len(wv["id"])] = way_txt.to_numpy(zero_copy_only=False)
-    kinds[n_nodes + len(wv["id"]) :] = "relation"
-    texts[n_nodes + len(wv["id"]) :] = rel_txt
+    for a in range(0, n_nodes, SLICE):
+        b = min(a + SLICE, n_nodes)
+        texts[a:b] = node_texts(a, b)
+    kinds[n_nodes : n_nodes + n_ways] = "way"
+    for a in range(0, n_ways, SLICE):
+        b = min(a + SLICE, n_ways)
+        texts[n_nodes + a : n_nodes + b] = way_texts(a, b)
+    kinds[n_nodes + n_ways :] = "relation"
+    texts[n_nodes + n_ways :] = rel_txt
     return _wrap_documents((kinds, texts), spans_per_doc=spans_per_doc)
 
 
