@@ -121,7 +121,7 @@ def run_worker(num_cpus: int, sf_dir: str, corpus: str | None = None, join_mode:
     print("WORKER_RESULT " + json.dumps(res))
 
 
-SCALING_ELEMENTS = int(os.environ.get("GRAFT_SCALING_ELEMENTS", "60000000"))
+SCALING_ELEMENTS = int(os.environ.get("GRAFT_SCALING_ELEMENTS", "30000000"))
 SCALING_REPEATS = int(os.environ.get("GRAFT_SCALING_REPEATS", "1"))
 
 
