@@ -261,6 +261,7 @@ def suite(sf_dir: str) -> dict[str, float]:
         "knn_geo_synth",
         "pip_geo_synth",
         "raster_vector_synth",
+        "raster_vector_part",
         "pip_geo_part",
         "knn_geo_part",
         "ivf_ann",

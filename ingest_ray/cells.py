@@ -290,6 +290,23 @@ def hex_cover_bbox(minx: float, miny: float, maxx: float, maxy: float, res: int)
     return _hex_pack(res, q_flat, r_flat)
 
 
+def hex_cover_contains(
+    cells: np.ndarray, minx: float, miny: float, maxx: float, maxy: float, res: int
+) -> np.ndarray:
+    """Vectorized membership test ``cell ∈ hex_cover_bbox(bbox, res)``
+    WITHOUT enumerating the cover — O(1) per cell. Must stay
+    formula-identical to :func:`hex_cover_bbox` (same margins) so the
+    two are interchangeable; used for bboxes whose enumerated cover
+    would be unboundedly large."""
+    cres, q, r = hex_unpack(np.asarray(cells, dtype=np.uint64))
+    s = _hex_size(res)
+    r_lo = int(np.floor((2.0 / 3.0 * miny) / s)) - 1
+    r_hi = int(np.ceil((2.0 / 3.0 * maxy) / s)) + 1
+    q_lo = np.floor(minx / (_SQRT3 * s) - r / 2.0).astype(np.int64) - 1
+    q_hi = np.ceil(maxx / (_SQRT3 * s) - r / 2.0).astype(np.int64) + 1
+    return (cres == res) & (r >= r_lo) & (r <= r_hi) & (q >= q_lo) & (q <= q_hi)
+
+
 # --------------------------------------------------------------------------
 # map_batches stage: add cell columns to features
 # --------------------------------------------------------------------------

@@ -279,7 +279,9 @@ def apply_changeset(
 
 def merge_features(old_features: pa.Table, delta: pa.Table, removed_keys: np.ndarray) -> pa.Table:
     """Patch helper: old features − removed keys + delta (small-side
-    table form; per-tile stores apply the same mask partition-locally)."""
+    table form). For a COMMITTED tile store use
+    ``checkpoint.patch_tiles`` — it applies the same mask per affected
+    grid cell and rewrites only those cells."""
     keys = old_features.column("key").to_numpy(zero_copy_only=False)
     keep = ~np.isin(keys.astype(np.uint64), removed_keys.astype(np.uint64))
     kept = old_features.filter(pa.array(keep))

@@ -41,6 +41,26 @@ from .tiles import (
 MANIFEST_VERSION = 1
 
 
+def _canon_type(t: pa.DataType) -> pa.DataType:
+    """Canonical nested-field names ("item"): a parquet round-trip
+    renames list children to "element", which would otherwise make
+    patched-store bytes differ from a fresh write of in-memory data."""
+    if pa.types.is_list(t):
+        return pa.list_(_canon_type(t.value_type))
+    if pa.types.is_large_list(t):
+        return pa.large_list(_canon_type(t.value_type))
+    if pa.types.is_struct(t):
+        return pa.struct([pa.field(f.name, _canon_type(f.type)) for f in t])
+    return t
+
+
+def _canon_table(t: pa.Table) -> pa.Table:
+    schema = pa.schema([pa.field(f.name, _canon_type(f.type)) for f in t.schema])
+    # always cast: Arrow type equality IGNORES nested field names, so an
+    # equality guard would skip exactly the rename this exists for
+    return t.cast(schema)
+
+
 def _manifest_dir(out_path: str) -> str:
     return os.path.join(out_path, "manifest")
 
@@ -73,27 +93,38 @@ def write_cell_group(group: pa.Table, out_path: str, leaf_capacity: int = LEAF_C
     t0 = time.time()
     tiled = divide_cell_group(group, leaf_capacity)
     cell = int(tiled.column("tile_cell")[0].as_py())
-    paths = tiled.column("tile_path").to_numpy(zero_copy_only=False)
-    keys = tiled.column("key").to_numpy(zero_copy_only=False)
+    # canonical (tile_path, key) order: output bytes are a pure function
+    # of the cell's feature SET, so an incremental patch_tiles rewrite
+    # byte-matches a from-scratch run regardless of block arrival order
+    paths0 = tiled.column("tile_path").to_numpy(zero_copy_only=False)
+    keys0 = tiled.column("key").to_numpy(zero_copy_only=False)
+    order = np.lexsort((keys0, paths0))
+    # combine_chunks: parquet page/dictionary layout depends on chunk
+    # boundaries; a single chunk makes output bytes chunking-invariant
+    tiled = _canon_table(tiled.take(pa.array(order, pa.int64())).combine_chunks())
+    paths = paths0[order]
+    keys = keys0[order]
 
     cell_dir = os.path.join(out_path, "tiles", f"c{cell:05d}")
     os.makedirs(cell_dir, exist_ok=True)
     os.makedirs(_manifest_dir(out_path), exist_ok=True)
 
+    starts = np.flatnonzero(np.concatenate([[True], paths[1:] != paths[:-1]]))
+    ends = np.concatenate([starts[1:], [len(paths)]])
     tiles_meta = []
-    for p in np.unique(paths):
-        mask = paths == p
-        sub = tiled.filter(pa.array(mask))
+    for s, e in zip(starts, ends):
+        p = paths[s]
+        sub = tiled.slice(int(s), int(e - s))
         fname = f"p{int(p):x}.parquet"
         final = os.path.join(cell_dir, fname)
         tmp = final + f".tmp.{os.getpid()}"
         pq.write_table(sub, tmp)
         os.replace(tmp, final)  # atomic commit (S7 analog)
-        sig = int(np.bitwise_xor.reduce(keys[mask].astype(np.uint64))) if mask.any() else 0
+        seg_keys = keys[s:e].astype(np.uint64)
         tiles_meta.append(
             {
                 "path": int(p),
-                "rows": int(mask.sum()),
+                "rows": int(e - s),
                 "file": os.path.join(f"c{cell:05d}", fname),
                 "bbox": [
                     float(sub.column("minx").to_numpy(zero_copy_only=False).min()),
@@ -101,7 +132,11 @@ def write_cell_group(group: pa.Table, out_path: str, leaf_capacity: int = LEAF_C
                     float(sub.column("maxx").to_numpy(zero_copy_only=False).max()),
                     float(sub.column("maxy").to_numpy(zero_copy_only=False).max()),
                 ],
-                "key_xor": sig,
+                "key_xor": int(np.bitwise_xor.reduce(seg_keys)),
+                # key zone map: patch_tiles prunes unaffected tiles by
+                # range before reading any key column
+                "key_min": int(seg_keys.min()),
+                "key_max": int(seg_keys.max()),
             }
         )
 
@@ -144,10 +179,13 @@ def optimize_to_tiles(
     with the skip-map dedup replaced by owner-cell assignment and the
     single root-builder replaced by per-cell manifests.
     """
+    # materialize on BOTH paths (same fix as tiles.assign_tiles):
+    # coalesce_blocks inspects count()/num_blocks(), which on a lazy
+    # Dataset executes the whole upstream DAG once and the tile shuffle
+    # a second time — a silent 2x recompute when explicit bounds skip
+    # the aggregate
+    features_ds = features_ds.materialize()
     if bounds is None:
-        # avoid double DAG execution (bounds aggregate + shuffle):
-        # materialize the (small, about-to-shuffle) features first
-        features_ds = features_ds.materialize()
         bounds = global_bounds(features_ds)
     features_ds = coalesce_blocks(features_ds)
     os.makedirs(out_path, exist_ok=True)
@@ -177,6 +215,259 @@ def optimize_to_tiles(
         lambda g: write_cell_group(g, out_path, leaf_capacity),
         batch_format="pyarrow",
     )
+
+
+def _read_manifests(out_path: str) -> dict[int, dict]:
+    """cell → committed manifest dict."""
+    mdir = _manifest_dir(out_path)
+    out: dict[int, dict] = {}
+    if not os.path.isdir(mdir):
+        return out
+    for name in sorted(os.listdir(mdir)):
+        if not name.endswith(".json"):
+            continue
+        try:
+            with open(os.path.join(mdir, name)) as f:
+                m = json.load(f)
+        except json.JSONDecodeError:
+            continue
+        if m.get("status") == "committed":
+            out[int(m["cell"])] = m
+    return out
+
+
+_TILE_COLS = ("tile_cell", "tile_path", "tile_depth")
+
+
+def patch_tiles(
+    out_path: str,
+    delta,
+    removed_keys: np.ndarray,
+    leaf_capacity: int = LEAF_CAPACITY,
+) -> dict:
+    """Apply a changeset's ``(delta, removed)`` (from
+    ``changeset.apply_changeset``) to a COMMITTED tile store in place,
+    rewriting only the grid cells whose contents change — the
+    incremental-update story the reference declares but never ships
+    (/root/reference/src/bin.rs:229-231; round semantics pinned by
+    tests/ingest.rs:90-400).
+
+    Plan:
+
+    1. affected cells = cells of delta features (under the store's
+       committed bounds) ∪ cells holding a removed key — found via the
+       per-tile ``key_min``/``key_max`` zone maps in the manifests,
+       confirmed by reading ONLY candidate tiles' key column;
+    2. the patched feature set of the affected cells (old − removed
+       + delta) re-runs the normal per-cell divide+write; untouched
+       cells are never read or written;
+    3. if the patch changes the GLOBAL feature bounds the grid itself
+       moves, so the whole store is re-optimized (returned as
+       ``full_rebuild`` — a rare, inherently global event).
+
+    Because ``write_cell_group`` writes canonical (tile_path, key)
+    order, the patched store byte-matches a from-scratch
+    ``optimize_to_tiles`` of the final corpus (tested through the
+    reference's changeset rounds 0-3).
+
+    Partitioning assumption: the delta is small relative to the store
+    (the o5c model) — it is collected to one Arrow table for cell
+    assignment; the per-cell rebuild itself is a distributed
+    groupby(cell) stage.
+    """
+    import ray.data as rd
+
+    with open(os.path.join(out_path, "bounds.json")) as f:
+        bj = json.load(f)
+    bounds = tuple(bj["bounds"])
+    grid_divs = tuple(bj["grid_divs"])
+    manifests = _read_manifests(out_path)
+
+    if delta is None:
+        delta_t = None
+    elif isinstance(delta, pa.Table):
+        delta_t = delta
+    else:
+        parts = list(delta.iter_batches(batch_format="pyarrow", batch_size=1 << 20))
+        delta_t = pa.concat_tables(parts) if parts else None
+    if delta_t is not None and len(delta_t) == 0:
+        delta_t = None
+    if delta_t is not None:
+        delta_t = assign_grid_cell(delta_t, bounds, grid_divs)
+
+    removed = np.sort(np.asarray(removed_keys, dtype=np.uint64))
+
+    # 1a. cells holding removed keys: zone-map prune, then confirm
+    cand_files: dict[int, list[str]] = {}
+    for cell, man in manifests.items():
+        for t in man["tiles"]:
+            kmin, kmax = t.get("key_min"), t.get("key_max")
+            if kmin is None:  # pre-zone-map manifest: always candidate
+                hit = len(removed) > 0
+            else:
+                lo = np.searchsorted(removed, np.uint64(kmin), side="left")
+                hit = lo < len(removed) and removed[lo] <= np.uint64(kmax)
+            if hit:
+                cand_files.setdefault(cell, []).append(
+                    os.path.join(out_path, "tiles", t["file"])
+                )
+    hit_cells: set[int] = set()
+    for cell, files in cand_files.items():
+        for fp in files:
+            keys = pq.read_table(fp, columns=["key"]).column("key").to_numpy(
+                zero_copy_only=False
+            ).astype(np.uint64)
+            pos = np.searchsorted(removed, keys)
+            pos_c = np.clip(pos, 0, max(len(removed) - 1, 0))
+            if len(removed) and bool((removed[pos_c] == keys).any()):
+                hit_cells.add(cell)
+                break
+
+    delta_cells: set[int] = set()
+    if delta_t is not None:
+        delta_cells = set(
+            int(c)
+            for c in np.unique(
+                delta_t.column("tile_cell").to_numpy(zero_copy_only=False)
+            )
+        )
+    affected = hit_cells | delta_cells
+    if not affected:
+        return {"rewritten": [], "removed_cells": [], "full_rebuild": False}
+
+    # 2. patched feature set of the affected cells
+    old_files = [
+        os.path.join(out_path, "tiles", t["file"])
+        for c in sorted(affected & set(manifests))
+        for t in manifests[c]["tiles"]
+    ]
+    parts = []
+    if old_files:
+        old_ds = rd.read_parquet(old_files)
+
+        def strip_filter(b: pa.Table) -> pa.Table:
+            keys = b.column("key").to_numpy(zero_copy_only=False).astype(np.uint64)
+            if len(removed):
+                pos = np.clip(np.searchsorted(removed, keys), 0, len(removed) - 1)
+                b = b.filter(pa.array(~(removed[pos] == keys)))
+            return b.drop_columns(["tile_path", "tile_depth"])
+
+        parts.append(
+            old_ds.map_batches(strip_filter, batch_format="pyarrow", zero_copy_batch=True)
+        )
+        base_schema = pq.read_schema(old_files[0])
+        for c in ("tile_path", "tile_depth"):
+            base_schema = base_schema.remove(base_schema.get_field_index(c))
+    else:
+        base_schema = delta_t.schema
+    if delta_t is not None:
+        parts.append(rd.from_arrow(delta_t.select(base_schema.names).cast(base_schema)))
+    patched = parts[0]
+    for p in parts[1:]:
+        patched = patched.union(p)
+    patched = patched.materialize()
+
+    # 3. bounds check: patched-cell extents ∪ untouched manifest bboxes
+    untouched_boxes = [
+        t["bbox"]
+        for c, man in manifests.items()
+        if c not in affected
+        for t in man["tiles"]
+    ]
+    box_arr = np.array(untouched_boxes, dtype=np.float32).reshape(-1, 4)
+    new_bounds = [
+        float(b)
+        for b in (
+            box_arr[:, 0].min() if len(box_arr) else np.float32(np.inf),
+            box_arr[:, 1].min() if len(box_arr) else np.float32(np.inf),
+            box_arr[:, 2].max() if len(box_arr) else np.float32(-np.inf),
+            box_arr[:, 3].max() if len(box_arr) else np.float32(-np.inf),
+        )
+    ]
+    if patched.count():
+        pb = global_bounds(patched)
+        new_bounds = [
+            min(new_bounds[0], pb[0]),
+            min(new_bounds[1], pb[1]),
+            max(new_bounds[2], pb[2]),
+            max(new_bounds[3], pb[3]),
+        ]
+    if tuple(np.float32(x) for x in new_bounds) != tuple(np.float32(x) for x in bounds):
+        # global event: the grid moves — re-optimize everything
+        import shutil
+
+        keep_files = [
+            os.path.join(out_path, "tiles", t["file"])
+            for c, man in manifests.items()
+            if c not in affected
+            for t in man["tiles"]
+        ]
+        all_parts = [patched.map_batches(
+            lambda b: b.drop_columns(["tile_cell"]),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )]
+        if keep_files:
+            all_parts.append(
+                rd.read_parquet(keep_files).map_batches(
+                    lambda b: b.drop_columns(list(_TILE_COLS)),
+                    batch_format="pyarrow",
+                    zero_copy_batch=True,
+                )
+            )
+        allf = all_parts[0]
+        for p in all_parts[1:]:
+            allf = allf.union(p)
+        allf = allf.materialize()
+        shutil.rmtree(os.path.join(out_path, "tiles"), ignore_errors=True)
+        shutil.rmtree(_manifest_dir(out_path), ignore_errors=True)
+        optimize_to_tiles(
+            allf, out_path, grid_divs=grid_divs, leaf_capacity=leaf_capacity, resume=False
+        ).materialize()
+        return {
+            "rewritten": sorted(set(_read_manifests(out_path))),
+            "removed_cells": [],
+            "full_rebuild": True,
+        }
+
+    # 4. distributed per-cell rewrite (bounds stable → cells keep their
+    # committed tile_cell; delta rows were assigned under the same grid)
+    man_rows = (
+        patched.groupby("tile_cell")
+        .map_groups(
+            lambda g: write_cell_group(g, out_path, leaf_capacity),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+    )
+    rewritten = sorted(int(c) for c in man_rows["cell"].unique()) if len(man_rows) else []
+
+    # cells emptied by the patch: drop their manifest + tiles
+    removed_cells = sorted(set(int(c) for c in affected) - set(rewritten))
+    for c in removed_cells:
+        if c not in manifests:
+            continue
+        mp = os.path.join(_manifest_dir(out_path), f"c{c:05d}.json")
+        if os.path.isfile(mp):
+            os.remove(mp)
+        cdir = os.path.join(out_path, "tiles", f"c{c:05d}")
+        if os.path.isdir(cdir):
+            import shutil
+
+            shutil.rmtree(cdir)
+    # stale tile files a shallower re-divide no longer produces
+    new_mans = _read_manifests(out_path)
+    for c in rewritten:
+        live = {os.path.basename(t["file"]) for t in new_mans[c]["tiles"]}
+        cdir = os.path.join(out_path, "tiles", f"c{c:05d}")
+        for name in os.listdir(cdir):
+            if name.endswith(".parquet") and name not in live:
+                os.remove(os.path.join(cdir, name))
+    return {
+        "rewritten": rewritten,
+        "removed_cells": removed_cells,
+        "full_rebuild": False,
+    }
 
 
 def _stage_marker(path: str) -> str:

@@ -34,6 +34,26 @@ def _normalize(mat: np.ndarray) -> np.ndarray:
     return mat / n[:, None]
 
 
+def _list_matrix(col) -> np.ndarray:
+    """``list<float>`` column → (n, dim) float64 matrix via Arrow list
+    offsets — no per-row Python conversion (the round-2 hot spot in
+    ``ivf_topk.per_list``)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    if n == 0:
+        return np.empty((0, 0))
+    off = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    vals = col.values.to_numpy(zero_copy_only=False)
+    dim = int(off[1] - off[0])
+    if np.all(np.diff(off) == dim):
+        return np.asarray(
+            vals[off[0] : off[0] + n * dim], dtype=np.float64
+        ).reshape(n, dim)
+    idx = off[:-1, None] + np.arange(dim)[None, :]
+    return np.asarray(vals, dtype=np.float64)[idx]
+
+
 def brute_force_topk(corpus_ds, queries_table: pa.Table, k: int = 5):
     """corpus Dataset ⋈ query matrix → (qid, vec_id, rank) top-k by
     cosine (ties → lower vec_id), exact.
@@ -169,18 +189,22 @@ def ivf_topk(
         queries_ds.map_batches(query_side, batch_format="pyarrow", zero_copy_batch=True)
     )
 
-    def per_list(df: pd.DataFrame) -> pa.Table:
-        is_q = df["is_q"].to_numpy(dtype=bool)
-        empty = pa.table(
-            {"qid": pa.array([], pa.int64()), "vec_id": pa.array([], pa.int64()),
-             "cos": pa.array([], pa.float64())}
-        )
+    PART_SCHEMA = pa.schema(
+        [
+            pa.field("qid", pa.int64()),
+            pa.field("vec_id", pa.int64()),
+            pa.field("cos", pa.float64()),
+        ]
+    )
+
+    def per_list(t: pa.Table) -> pa.Table:
+        is_q = t.column("is_q").to_numpy(zero_copy_only=False).astype(bool)
         if not is_q.any() or is_q.all():
-            return empty
-        c_ids = df["id"].to_numpy()[~is_q].astype(np.int64)
-        c_mat = _normalize(np.stack([np.asarray(v, dtype=np.float64) for v in df["emb"][~is_q]]))
-        q_ids = df["id"].to_numpy()[is_q].astype(np.int64)
-        q_mat = _normalize(np.stack([np.asarray(v, dtype=np.float64) for v in df["emb"][is_q]]))
+            return PART_SCHEMA.empty_table()
+        ids = t.column("id").to_numpy(zero_copy_only=False).astype(np.int64)
+        mat = _normalize(_list_matrix(t.column("emb")))
+        c_ids, c_mat = ids[~is_q], mat[~is_q]
+        q_ids, q_mat = ids[is_q], mat[is_q]
         sims = q_mat @ c_mat.T
         kk = min(k, sims.shape[1])
         out_q, out_v, out_c = [], [], []
@@ -197,7 +221,7 @@ def ivf_topk(
             }
         )
 
-    partials = unioned.groupby("lid").map_groups(per_list, batch_format="pandas")
+    partials = unioned.groupby("lid").map_groups(per_list, batch_format="pyarrow")
 
     def merge(df: pd.DataFrame) -> pd.DataFrame:
         df = df.drop_duplicates(["qid", "vec_id"])

@@ -59,7 +59,8 @@ def quality_score_batch(df: pd.DataFrame) -> pd.DataFrame:
 def lang_id_batch(df: pd.DataFrame) -> pd.DataFrame:
     """doc_id, lang_pred, lang_conf — stopword-vote heuristic.
 
-    Not SQL-expressible (rows-only oracle)."""
+    DuckDB-oracled (the stopword votes and the tie-break are
+    reproduced in SQL — see ``oracle_sql()['lang_id_docs']``)."""
     preds, confs = [], []
     for s in df["text"].fillna(""):
         words = set(w.lower() for w in _WS.split(s.strip())) if s.strip() else set()

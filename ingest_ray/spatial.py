@@ -107,9 +107,9 @@ def pip_join(
 
     Broadcast strategy: the polygon set (packed rings) is put in the
     object store once; every batch runs the bbox-prefiltered ray-cast
-    kernel. Partitioning assumption: the polygon side fits one worker
-    (for the planet-scale path, pre-partition both sides by tile_cell
-    and run this per cell — same kernel, cell-local polygon sets).
+    kernel. Partitioning assumption: the polygon side fits one worker;
+    when it doesn't, use :func:`pip_join_partitioned` (same kernel,
+    bucket-local polygon sets, property-tested equal output).
     """
     pset_ref = ray.put(PolygonSet.from_features(polygons_table))
 
@@ -136,40 +136,67 @@ def pip_join_partitioned(
     keep_cols: tuple[str, ...] = (),
     res: int = 5,
     num_buckets: int = 64,
+    cover_cap: int = 4096,
 ):
     """Cell-partitioned PIP join — BOTH sides are Datasets; nothing is
     driver-materialized or broadcast (the planet-scale path promised by
     :func:`pip_join`'s docstring; output equals the broadcast variant,
     property-tested).
 
-    Plan: each polygon row replicates to the coarse hex cells covering
-    its bbox; each point goes to its own cell. One hash shuffle on the
-    cell brings them together; every bucket dedupes its polygon rows
-    (a polygon can cover several cells of one bucket) and runs the
-    same bbox-prefiltered ray-cast kernel cell-locally. A point meets
-    a polygon in exactly one bucket (the point's own cell), so pairs
-    are emitted exactly once.
+    Plan: points hash to the bucket of their own res-``res`` hex cell;
+    each polygon replicates ONCE PER DISTINCT BUCKET its bbox cover
+    touches — geometry never ships per cover cell, so replication is
+    bounded at ``num_buckets`` copies regardless of bbox area (a
+    world-spanning polygon costs 64 rows, not 3×10⁵). Polygons whose
+    estimated cover exceeds ``cover_cap`` cells skip the cover
+    enumeration entirely and go to every bucket — a superset routing
+    that is always correct and caps the per-polygon explode cost.
+
+    Correctness: a hit pair (point ∈ polygon) implies the point's cell
+    intersects the polygon bbox, hence lies in the bbox cover
+    (``hex_cover_bbox`` is a superset cover), hence the polygon is
+    present in the point's bucket. The point lives in exactly one
+    bucket and the bucket dedupes polygons by key, so every pair is
+    emitted exactly once. Within a bucket the vectorized bbox
+    prefilter in :meth:`PolygonSet.contains` restricts the exact
+    ray-cast to candidate points — no per-cell rescan of the bucket.
     """
     import pandas as pd
 
-    from .cells import hex_cover_bbox
+    from .cells import _SQRT3, _hex_size, hex_cover_bbox
     from .util import splitmix64
 
     pt_cols = [x_col, y_col, *keep_cols]
+    all_buckets = np.arange(num_buckets, dtype=np.int32)
 
     def explode_polys(batch: pa.Table) -> pa.Table:
-        minx = batch.column("minx").to_numpy(zero_copy_only=False)
-        miny = batch.column("miny").to_numpy(zero_copy_only=False)
-        maxx = batch.column("maxx").to_numpy(zero_copy_only=False)
-        maxy = batch.column("maxy").to_numpy(zero_copy_only=False)
-        covers = [hex_cover_bbox(minx[i], miny[i], maxx[i], maxy[i], res) for i in range(len(batch))]
-        counts = np.fromiter((len(c) for c in covers), dtype=np.int64, count=len(batch))
-        rows = np.repeat(np.arange(len(batch)), counts)
-        cells = np.concatenate(covers) if covers else np.empty(0, dtype=np.uint64)
+        minx = batch.column("minx").to_numpy(zero_copy_only=False).astype(np.float64)
+        miny = batch.column("miny").to_numpy(zero_copy_only=False).astype(np.float64)
+        maxx = batch.column("maxx").to_numpy(zero_copy_only=False).astype(np.float64)
+        maxy = batch.column("maxy").to_numpy(zero_copy_only=False).astype(np.float64)
+        s = _hex_size(res)
+        # cheap upper-bound-ish cover size from bbox extent / hex pitch
+        # (routing heuristic only: both branches below are exact)
+        est = ((maxx - minx) / (_SQRT3 * s) + 3.0) * ((maxy - miny) / (1.5 * s) + 3.0)
+        rows_parts, bucket_parts = [], []
+        for i in range(len(batch)):
+            if est[i] > cover_cap:
+                bks = all_buckets
+            else:
+                cover = hex_cover_bbox(minx[i], miny[i], maxx[i], maxy[i], res)
+                bks = np.unique(
+                    (splitmix64(cover) % np.uint64(num_buckets)).astype(np.int32)
+                )
+            rows_parts.append(np.full(len(bks), i, dtype=np.int64))
+            bucket_parts.append(bks)
+        rows = np.concatenate(rows_parts) if rows_parts else np.empty(0, dtype=np.int64)
+        buckets = (
+            np.concatenate(bucket_parts) if bucket_parts else np.empty(0, dtype=np.int32)
+        )
         sub = batch.take(pa.array(rows, pa.int64()))
         n = len(sub)
         out = {
-            "cell": pa.array(cells, pa.uint64()),
+            "bucket": pa.array(buckets, pa.int32()),
             "is_poly": pa.array(np.ones(n, dtype=bool), pa.bool_()),
             "key": sub.column("key"),
             "positions": sub.column("positions"),
@@ -183,12 +210,11 @@ def pip_join_partitioned(
             out[f"pt_{c}"] = pa.nulls(n, pa.float64())
         return pa.table(out)
 
-    FSCHEMA = None  # resolved lazily from the first polygon batch
-
     def explode_points(batch: pa.Table) -> pa.Table:
         px = batch.column(x_col).to_numpy(zero_copy_only=False).astype(np.float64)
         py = batch.column(y_col).to_numpy(zero_copy_only=False).astype(np.float64)
         cells = hex_cell(px, py, res)
+        buckets = (splitmix64(cells) % np.uint64(num_buckets)).astype(np.int32)
         n = len(batch)
         empty_i32 = pa.ListArray.from_arrays(
             pa.array(np.zeros(n + 1, dtype=np.int32), pa.int32()), pa.array([], pa.int32())
@@ -197,7 +223,7 @@ def pip_join_partitioned(
             pa.array(np.zeros(n + 1, dtype=np.int32), pa.int32()), pa.array([], pa.float32())
         )
         out = {
-            "cell": pa.array(cells, pa.uint64()),
+            "bucket": pa.array(buckets, pa.int32()),
             "is_poly": pa.array(np.zeros(n, dtype=bool), pa.bool_()),
             "key": pa.nulls(n, pa.uint64()),
             "positions": empty_f32,
@@ -213,14 +239,7 @@ def pip_join_partitioned(
 
     polys = polygons_ds.map_batches(explode_polys, batch_format="pyarrow", zero_copy_batch=True)
     points = points_ds.map_batches(explode_points, batch_format="pyarrow", zero_copy_batch=True)
-    unioned = polys.union(points)
-
-    def add_bucket(batch: pa.Table) -> pa.Table:
-        c = batch.column("cell").to_numpy(zero_copy_only=False).astype(np.uint64)
-        b = (splitmix64(c) % np.uint64(num_buckets)).astype(np.int32)
-        return batch.append_column("bucket", pa.array(b, pa.int32()))
-
-    bucketed = unioned.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+    bucketed = polys.union(points)
 
     OUT_SCHEMA = pa.schema(
         [pa.field(c, pa.float64()) for c in pt_cols] + [pa.field("poly_key", pa.uint64())]
@@ -232,34 +251,25 @@ def pip_join_partitioned(
         pls = df[is_poly]
         if len(pts) == 0 or len(pls) == 0:
             return OUT_SCHEMA.empty_table()
-        # a point only pairs with polygons covering ITS cell — restrict
-        # each cell's point set to that cell's (deduped) polygons
-        out_parts = []
-        pt_cells = pts["cell"].to_numpy().astype(np.uint64)
-        for cell, pl_group in pls.groupby("cell"):
-            sel = pt_cells == np.uint64(cell)
-            if not sel.any():
-                continue
-            sub_pts = pts[sel]
-            pl_u = pl_group.drop_duplicates("key")
-            pset = PolygonSet(
-                pl_u["key"].to_numpy().astype(np.uint64),
-                np.concatenate([np.asarray(v, dtype=np.float64) for v in pl_u["positions"]])
-                if len(pl_u)
-                else np.empty(0),
-                _ring_offsets_from_rows(pl_u),
-                _ring_spans_from_rows(pl_u),
-                pl_u[["minx", "miny", "maxx", "maxy"]].to_numpy().astype(np.float64),
-            )
-            px = sub_pts[f"pt_{x_col}"].to_numpy(dtype=np.float64)
-            py = sub_pts[f"pt_{y_col}"].to_numpy(dtype=np.float64)
-            pt_idx, poly_id = pset.contains(px, py)
-            cols = {c: pa.array(sub_pts[f"pt_{c}"].to_numpy(dtype=np.float64)[pt_idx], pa.float64()) for c in pt_cols}
-            cols["poly_key"] = pa.array(poly_id, pa.uint64())
-            out_parts.append(pa.table(cols))
-        if not out_parts:
-            return OUT_SCHEMA.empty_table()
-        return pa.concat_tables(out_parts).cast(OUT_SCHEMA)
+        pl_u = pls.drop_duplicates("key")
+        pset = PolygonSet(
+            pl_u["key"].to_numpy().astype(np.uint64),
+            np.concatenate([np.asarray(v, dtype=np.float64) for v in pl_u["positions"]])
+            if len(pl_u)
+            else np.empty(0),
+            _ring_offsets_from_rows(pl_u),
+            _ring_spans_from_rows(pl_u),
+            pl_u[["minx", "miny", "maxx", "maxy"]].to_numpy().astype(np.float64),
+        )
+        px = pts[f"pt_{x_col}"].to_numpy(dtype=np.float64)
+        py = pts[f"pt_{y_col}"].to_numpy(dtype=np.float64)
+        pt_idx, poly_id = pset.contains(px, py)
+        cols = {
+            c: pa.array(pts[f"pt_{c}"].to_numpy(dtype=np.float64)[pt_idx], pa.float64())
+            for c in pt_cols
+        }
+        cols["poly_key"] = pa.array(poly_id, pa.uint64())
+        return pa.table(cols).cast(OUT_SCHEMA)
 
     return bucketed.groupby("bucket").map_groups(per_bucket, batch_format="pandas")
 
@@ -512,9 +522,12 @@ def knn_join_partitioned(
         csub_all = df[is_c]
         if len(qsub_all) == 0 or len(csub_all) == 0:
             return _KNN_SCHEMA.empty_table()
+        # group the corpus side ONCE — the previous per-query-cell boolean
+        # mask rescanned the whole bucket per cell, O(cells × bucket_rows)
+        cgroups = {tc: g for tc, g in csub_all.groupby("tcell")}
         for tcell, qsub in qsub_all.groupby("tcell"):
-            csub = csub_all[csub_all["tcell"].to_numpy() == tcell]
-            if len(csub) == 0:
+            csub = cgroups.get(tcell)
+            if csub is None:
                 continue
             cd = csub.drop_duplicates("id")
             index = CellIndex(
@@ -541,7 +554,9 @@ def knn_join_partitioned(
     return bucketed.groupby("bucket").map_groups(per_bucket, batch_format="pandas")
 
 
-def raster_vector_join_partitioned(features_ds, chips_ds, res: int = 7):
+def raster_vector_join_partitioned(
+    features_ds, chips_ds, res: int = 7, cover_cap: int = 4096
+):
     """Cell-keyed raster↔vector join with a distributed hash join —
     chips are a Dataset, not a broadcast table (the planet-scale path
     promised by :func:`raster_vector_join`; output equals the
@@ -550,28 +565,95 @@ def raster_vector_join_partitioned(features_ds, chips_ds, res: int = 7):
     features → exploded (cell, key) cover rows ⋈ chips on cell →
     groupby(key) mean/count. Only (cell, key) pairs and matched chip
     values cross the exchanges.
-    """
-    from ray.data.aggregate import Count, Mean
 
-    from .cells import hex_cover_bbox
+    Cover explosion is BOUNDED (the round-2 bench showed the unclipped
+    version enumerating ~10⁷ res-7 cells per world-spanning feature):
+    feature bboxes are clipped to the raster extent first (an
+    aggregate over chip-cell centers, mirroring the broadcast
+    variant's clip), and any feature whose clipped cover would still
+    exceed ``cover_cap`` cells skips enumeration — it is routed
+    through a tiny collected side set and matched against chips with
+    the O(1) :func:`ingest_ray.cells.hex_cover_contains` test instead
+    (few such features by area distribution; documented assumption).
+    """
+    from ray.data.aggregate import Count, Max, Mean, Min
+
+    from .cells import _SQRT3, _hex_size, hex_center, hex_cover_bbox, hex_cover_contains
     from .util import effective_num_partitions, tune_shuffle_context
 
+    chips_ds = chips_ds.materialize()  # consumed by extent agg + join (+ big scan)
+
+    def chip_centers(batch: pa.Table) -> pa.Table:
+        cells = batch.column("cell").to_numpy(zero_copy_only=False).astype(np.uint64)
+        cx, cy = hex_center(cells)
+        return pa.table({"cx": pa.array(cx), "cy": pa.array(cy)})
+
+    erow = chips_ds.map_batches(
+        chip_centers, batch_format="pyarrow", zero_copy_batch=True
+    ).aggregate(
+        Min("cx", alias_name="x0"),
+        Min("cy", alias_name="y0"),
+        Max("cx", alias_name="x1"),
+        Max("cy", alias_name="y1"),
+    )
+    s = _hex_size(res)
+    margin = 2.0 * s
+    extent = (
+        float(erow["x0"]) - margin,
+        float(erow["y0"]) - margin,
+        float(erow["x1"]) + margin,
+        float(erow["y1"]) + margin,
+    )
+
     def explode_cover(batch: pa.Table) -> pa.Table:
-        minx = batch.column("minx").to_numpy(zero_copy_only=False)
-        miny = batch.column("miny").to_numpy(zero_copy_only=False)
-        maxx = batch.column("maxx").to_numpy(zero_copy_only=False)
-        maxy = batch.column("maxy").to_numpy(zero_copy_only=False)
-        keys = batch.column("key").to_numpy(zero_copy_only=False)
-        covers = [
-            hex_cover_bbox(minx[i], miny[i], maxx[i], maxy[i], res) for i in range(len(batch))
-        ]
-        counts = np.fromiter((len(c) for c in covers), dtype=np.int64, count=len(batch))
-        cells = np.concatenate(covers) if covers else np.empty(0, dtype=np.uint64)
+        minx = np.maximum(
+            batch.column("minx").to_numpy(zero_copy_only=False).astype(np.float64), extent[0]
+        )
+        miny = np.maximum(
+            batch.column("miny").to_numpy(zero_copy_only=False).astype(np.float64), extent[1]
+        )
+        maxx = np.minimum(
+            batch.column("maxx").to_numpy(zero_copy_only=False).astype(np.float64), extent[2]
+        )
+        maxy = np.minimum(
+            batch.column("maxy").to_numpy(zero_copy_only=False).astype(np.float64), extent[3]
+        )
+        keys = batch.column("key").to_numpy(zero_copy_only=False).astype(np.uint64)
+        est = ((maxx - minx) / (_SQRT3 * s) + 3.0) * ((maxy - miny) / (1.5 * s) + 3.0)
+        cell_parts, key_parts, big_idx = [], [], []
+        for i in np.flatnonzero((minx <= maxx) & (miny <= maxy)):
+            if est[i] > cover_cap:
+                big_idx.append(i)
+                continue
+            cover = hex_cover_bbox(minx[i], miny[i], maxx[i], maxy[i], res)
+            cell_parts.append(cover.view(np.int64))
+            key_parts.append(np.full(len(cover), keys[i], dtype=np.uint64))
+        n_big = len(big_idx)
+        bi = np.array(big_idx, dtype=np.int64)
+        cells = (
+            np.concatenate(cell_parts) if cell_parts else np.empty(0, dtype=np.int64)
+        )
+        skeys = np.concatenate(key_parts) if key_parts else np.empty(0, dtype=np.uint64)
+        n_small = len(cells)
         return pa.table(
             {
-                # int64 view: Dataset.join keys stay native Arrow types
-                "ccell": pa.array(cells.view(np.int64), pa.int64()),
-                "key": pa.array(np.repeat(keys, counts), pa.uint64()),
+                "ccell": pa.array(
+                    np.concatenate([cells, np.full(n_big, -1, dtype=np.int64)]), pa.int64()
+                ),
+                "key": pa.array(np.concatenate([skeys, keys[bi]]), pa.uint64()),
+                # clipped bbox, only for sentinel (big) rows
+                "bminx": pa.array(
+                    np.concatenate([np.full(n_small, np.nan), minx[bi]]), pa.float64()
+                ),
+                "bminy": pa.array(
+                    np.concatenate([np.full(n_small, np.nan), miny[bi]]), pa.float64()
+                ),
+                "bmaxx": pa.array(
+                    np.concatenate([np.full(n_small, np.nan), maxx[bi]]), pa.float64()
+                ),
+                "bmaxy": pa.array(
+                    np.concatenate([np.full(n_small, np.nan), maxy[bi]]), pa.float64()
+                ),
             }
         )
 
@@ -584,16 +666,85 @@ def raster_vector_join_partitioned(features_ds, chips_ds, res: int = 7):
             }
         )
 
-    cover = features_ds.map_batches(explode_cover, batch_format="pyarrow", zero_copy_batch=True)
-    chips = chips_ds.map_batches(chip_side, batch_format="pyarrow", zero_copy_batch=True)
-    tune_shuffle_context()
-    joined = cover.join(
-        chips,
-        join_type="inner",
-        num_partitions=effective_num_partitions(16),
-        on=("ccell",),
-        right_on=("chip_cell",),
+    exploded = features_ds.map_batches(
+        explode_cover, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+    cover = exploded.filter(expr="ccell >= 0").select_columns(["ccell", "key"])
+    big_parts = list(
+        exploded.filter(expr="ccell < 0").iter_batches(
+            batch_format="pyarrow", batch_size=1 << 20
+        )
     )
+    big_t = pa.concat_tables(big_parts, promote_options="default") if big_parts else None
+
+    chips = chips_ds.map_batches(chip_side, batch_format="pyarrow", zero_copy_batch=True)
+    n_small = exploded.count() - (len(big_t) if big_t is not None else 0)
+    branches = []
+    if n_small > 0:
+        tune_shuffle_context()
+        branches.append(
+            cover.join(
+                chips,
+                join_type="inner",
+                num_partitions=effective_num_partitions(16),
+                on=("ccell",),
+                right_on=("chip_cell",),
+            ).select_columns(["key", "band_mean"])
+        )
+
+    if big_t is not None and len(big_t):
+        big_ref = ray.put(
+            (
+                big_t.column("key").to_numpy(zero_copy_only=False).astype(np.uint64),
+                np.column_stack(
+                    [
+                        big_t.column(c).to_numpy(zero_copy_only=False)
+                        for c in ("bminx", "bminy", "bmaxx", "bmaxy")
+                    ]
+                ),
+            )
+        )
+
+        def match_big(batch: pa.Table) -> pa.Table:
+            bkeys, bboxes = ray.get(big_ref)
+            cells = batch.column("cell").to_numpy(zero_copy_only=False).astype(np.uint64)
+            vals = batch.column("band_mean").to_numpy(zero_copy_only=False)
+            out_k, out_v = [], []
+            for j in range(len(bkeys)):
+                m = hex_cover_contains(cells, *bboxes[j], res)
+                if m.any():
+                    out_k.append(np.full(int(m.sum()), bkeys[j], dtype=np.uint64))
+                    out_v.append(vals[m])
+            if not out_k:
+                return pa.table(
+                    {"key": pa.array([], pa.uint64()), "band_mean": pa.array([], pa.float64())}
+                )
+            return pa.table(
+                {
+                    "key": pa.array(np.concatenate(out_k), pa.uint64()),
+                    "band_mean": pa.array(np.concatenate(out_v), pa.float64()),
+                }
+            )
+
+        branches.append(
+            chips_ds.map_batches(match_big, batch_format="pyarrow", zero_copy_batch=True)
+        )
+
+    if not branches:
+        import ray.data as rd
+
+        return rd.from_arrow(
+            pa.schema(
+                [
+                    pa.field("key", pa.uint64()),
+                    pa.field("chip_mean", pa.float64()),
+                    pa.field("chips", pa.int32()),
+                ]
+            ).empty_table()
+        )
+    joined = branches[0]
+    for b in branches[1:]:
+        joined = joined.union(b)
     agg = joined.groupby("key").aggregate(
         Mean("band_mean", alias_name="chip_mean"), Count(alias_name="chips")
     )

@@ -335,9 +335,10 @@ def tile_key_strings(cell: np.ndarray, path: np.ndarray) -> list[str]:
 #   pass 3  map: truncate every feature's path via the broadcast table
 #
 # Identical output to quad_divide (property-tested), no feature
-# shuffle at all, and hot cells cost the same as cold ones. At planet
-# scale the reduce is a per-cell tree over ≤ count/n · 4/3 keys; here
-# it runs on the driver (documented partitioning assumption).
+# shuffle at all, and hot cells cost the same as cold ones. The reduce
+# runs as a distributed groupby(cell) stage over compact
+# (cell, path30, count, bigand) keys — a per-cell tree of
+# ≤ count/n · 4/3 keys; only the final stop tables reach the driver.
 
 
 def full_quad_paths(

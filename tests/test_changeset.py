@@ -208,3 +208,76 @@ def test_osm_change_xml_rounds_match_dict_rounds():
     from ingest_ray.changeset import GOLDEN_ROUND1, GOLDEN_ROUND2, GOLDEN_ROUND3
 
     assert run(xml_rounds) == run([CHANGES0, GOLDEN_ROUND1, GOLDEN_ROUND2, GOLDEN_ROUND3])
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_patch_tiles_rounds_match_fresh_store(tmp_path):
+    """Rounds 0-3 applied to a COMMITTED tile store via
+    checkpoint.patch_tiles must byte-match a fresh optimize_to_tiles of
+    the final corpus — and incremental rounds must not rewrite
+    untouched cells' tile files."""
+    import os
+
+    import ray.data as rd
+
+    from ingest_ray.changeset import GOLDEN_ROUND1, GOLDEN_ROUND2, GOLDEN_ROUND3
+    from ingest_ray.checkpoint import optimize_to_tiles, patch_tiles, read_tiles
+
+    cfg = EngineConfig(join_mode="broadcast")
+    docs = rd.from_arrow(golden_documents())
+    store = str(tmp_path / "store")
+    feats = ingest_features(docs, cfg)
+    current = _collect(feats)
+    optimize_to_tiles(
+        rd.from_arrow(current), store, grid_divs=(4, 4), leaf_capacity=2, resume=False
+    ).materialize()
+
+    def tile_files(root):
+        out = {}
+        troot = os.path.join(root, "tiles")
+        for dirpath, _dirs, names in os.walk(troot):
+            for n in names:
+                p = os.path.join(dirpath, n)
+                out[os.path.relpath(p, troot)] = p
+        return out
+
+    state = None
+    saw_incremental = False
+    for rnd, changes in enumerate(
+        (CHANGES0, GOLDEN_ROUND1, GOLDEN_ROUND2, GOLDEN_ROUND3)
+    ):
+        before = {rel: os.stat(p).st_mtime_ns for rel, p in tile_files(store).items()}
+        delta, removed, state = apply_changeset(docs, changes, cfg, element_tables=state)
+        delta_t = _collect(delta) if delta is not None else current.schema.empty_table()
+        current = merge_features(current, delta_t, removed)
+        res = patch_tiles(store, delta_t, removed, leaf_capacity=2)
+        if not res["full_rebuild"]:
+            saw_incremental = True
+            touched_cells = set(res["rewritten"]) | set(res["removed_cells"])
+            for rel, p in tile_files(store).items():
+                cell = int(rel.split(os.sep)[0][1:])
+                if cell not in touched_cells and rel in before:
+                    assert os.stat(p).st_mtime_ns == before[rel], (
+                        f"round {rnd}: untouched cell {cell} file {rel} rewritten"
+                    )
+
+        fresh = str(tmp_path / f"fresh{rnd}")
+        optimize_to_tiles(
+            rd.from_arrow(current), fresh, grid_divs=(4, 4), leaf_capacity=2, resume=False
+        ).materialize()
+        pf = tile_files(store)
+        ff = tile_files(fresh)
+        assert set(pf) == set(ff), f"round {rnd}: tile file sets differ"
+        for rel in pf:
+            with open(pf[rel], "rb") as a, open(ff[rel], "rb") as b:
+                assert a.read() == b.read(), f"round {rnd}: {rel} bytes differ"
+        got = sorted(
+            (r["key"], r["tile_cell"], r["tile_path"])
+            for r in read_tiles(store).take_all()
+        )
+        want = sorted(
+            (r["key"], r["tile_cell"], r["tile_path"])
+            for r in read_tiles(fresh).take_all()
+        )
+        assert got == want
+    assert saw_incremental

@@ -201,6 +201,42 @@ def test_pip_partitioned_equals_broadcast(ray_session):
     assert a == b and len(a) > 0
 
 
+def test_pip_partitioned_world_spanning_polygon(ray_session):
+    """Regression for the round-2 bench crash: a polygon whose bbox
+    cover at res 5 exceeds 10⁵ cells must NOT replicate per cover cell
+    (geometry ships once per bucket, ≤ num_buckets copies) and must
+    still match the broadcast kernel exactly."""
+    import ray.data as rd
+
+    from ingest_ray.cells import hex_cover_bbox
+    from ingest_ray.spatial import pip_join, pip_join_partitioned
+
+    # world-spanning diamond + a small square, mirroring the synthetic
+    # relations that crashed the sf0.1 bench
+    world = [-179.0, 0.0, 0.0, -85.0, 179.0, 0.0, 0.0, 85.0]
+    small = [10.0, 10.0, 12.0, 10.0, 12.0, 12.0, 10.0, 12.0]
+    poly_tbl = _poly_features([(1, [world]), (2, [small])])
+    assert len(hex_cover_bbox(-179.0, -85.0, 179.0, 85.0, 5)) >= 100_000
+
+    rng = np.random.default_rng(21)
+    n = 500
+    pts_tbl = pa.table(
+        {
+            "pid": pa.array(np.arange(n), pa.int64()),
+            "lon": pa.array(rng.uniform(-179, 179, n), pa.float64()),
+            "lat": pa.array(rng.uniform(-85, 85, n), pa.float64()),
+        }
+    )
+    pts = rd.from_arrow(pts_tbl)
+    bc = pip_join(pts, poly_tbl, keep_cols=("pid",)).take_all()
+    pt = pip_join_partitioned(
+        pts, rd.from_arrow(poly_tbl), keep_cols=("pid",), res=5
+    ).take_all()
+    a = sorted((int(r["pid"]), int(r["poly_key"])) for r in bc)
+    b = sorted((int(r["pid"]), int(r["poly_key"])) for r in pt)
+    assert a == b and len(a) > 0
+
+
 def test_knn_partitioned_equals_broadcast(ray_session):
     import ray.data as rd
 
@@ -264,3 +300,38 @@ def test_raster_partitioned_equals_broadcast(ray_session):
     a = sorted((int(r["key"]), int(r["chips"]), round(r["chip_mean"], 9)) for r in bc)
     b = sorted((int(r["key"]), int(r["chips"]), round(r["chip_mean"], 9)) for r in pt)
     assert a == b and len(a) > 0
+
+
+def test_raster_partitioned_world_spanning_feature(ray_session):
+    """Regression: a feature with a near-global bbox must not
+    enumerate its full cover (clip to raster extent + over-cap routing
+    via hex_cover_contains) and must still match the broadcast
+    kernel — including with a cap low enough to force the big-feature
+    branch."""
+    import ray.data as rd
+
+    from ingest_ray.spatial import (
+        raster_vector_join,
+        raster_vector_join_partitioned,
+        synth_raster_chips,
+    )
+
+    chips = synth_raster_chips((0, 0, 3, 3), res=6)
+    feats = pa.table(
+        {
+            "key": pa.array([1, 2, 3], pa.uint64()),
+            "minx": pa.array([-179.0, 0.2, 50.0], pa.float32()),
+            "miny": pa.array([-85.0, 0.2, 50.0], pa.float32()),
+            "maxx": pa.array([179.0, 1.1, 60.0], pa.float32()),
+            "maxy": pa.array([85.0, 1.4, 60.0], pa.float32()),
+        }
+    )
+    fds = rd.from_arrow(feats)
+    bc = raster_vector_join(fds, chips, res=6).take_all()
+    for cap in (4096, 50):  # 50 forces key 2 through the big branch too
+        pt = raster_vector_join_partitioned(
+            fds, rd.from_arrow(chips), res=6, cover_cap=cap
+        ).take_all()
+        a = sorted((int(r["key"]), int(r["chips"]), round(r["chip_mean"], 9)) for r in bc)
+        b = sorted((int(r["key"]), int(r["chips"]), round(r["chip_mean"], 9)) for r in pt)
+        assert a == b and {x[0] for x in a} == {1, 2}

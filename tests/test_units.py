@@ -146,8 +146,13 @@ def test_progress_tracker(ray_session):
 
     out = ds.map_batches(prog.wrap(double, "double"), batch_format="pyarrow").materialize()
     assert out.count() == 1000
-    time.sleep(0.3)  # fire-and-forget adds drain
+    # the counter adds are fire-and-forget remote calls: poll with a
+    # deadline until they drain (a fixed sleep raced under suite load)
+    deadline = time.monotonic() + 30.0
     s1 = prog.sample()
+    while s1["counts"].get("double") != 1000 and time.monotonic() < deadline:
+        time.sleep(0.1)
+        s1 = prog.sample()
     assert s1["counts"].get("double") == 1000
     s2 = prog.sample()
     assert "double" in s2["rates_per_s"]
