@@ -240,7 +240,11 @@ def suite(sf_dir: str) -> dict[str, float]:
     import shutil
 
     shutil.rmtree(out_dir, ignore_errors=True)
-    timed("ingest_tiles", lambda: flagship(sf_dir, out_dir))
+    # synthesize the flagship corpus OUTSIDE the timed region (cold /tmp
+    # otherwise charges ~60 s of one-time parquet generation to the
+    # first query)
+    corpus = corpus_path(_sf_of(sf_dir))
+    timed("ingest_tiles", lambda: flagship(sf_dir, out_dir, corpus=corpus))
 
     for name in (
         "q1_lineitem",
