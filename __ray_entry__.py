@@ -862,6 +862,92 @@ def _lang_id_oracle_sql() -> str:
     """
 
 
+# FNV-1a 64 as a SQL fragment: DuckDB has no byte indexing on BLOB, so
+# the UTF-8 bytes come from hex(encode(text)) two chars at a time via a
+# 256-row hex-pair lookup, and the sequential fold is a recursive CTE
+# with the 64-bit wraparound multiply done in HUGEINT mod 2^64.
+# Byte-identical to ingest_ray.util.hash64_str (verified 500/500).
+_FNV_PRELUDE = """
+hexmap AS (SELECT printf('%02X', r) AS pair, r::UBIGINT AS v FROM range(256) t(r))
+"""
+
+
+def _fingerprint_oracle_sql() -> str:
+    """SQL twin of functions.text.fingerprint_batch: FNV-1a over each
+    document's full UTF-8 text."""
+    return f"""
+        WITH RECURSIVE
+        {_FNV_PRELUDE},
+        d AS (SELECT doc_id, hex(encode(coalesce(text,''))) AS hx FROM documents),
+        bytes AS (
+          SELECT d.doc_id, i.i, hm.v
+          FROM d
+          JOIN LATERAL (SELECT unnest(range(1, length(hx)//2 + 1)) AS i) i ON true
+          JOIN hexmap hm ON substring(d.hx, (2*i.i-1)::BIGINT, 2) = hm.pair
+        ),
+        lens AS (SELECT doc_id, length(hx)//2 AS n FROM d),
+        fnv(doc_id, i, h) AS (
+          SELECT doc_id, 0::BIGINT, CAST(14695981039346656037 AS UBIGINT) FROM d
+          UNION ALL
+          SELECT f.doc_id, f.i+1,
+            CAST((CAST(xor(f.h, b.v) AS HUGEINT) * 1099511628211)
+                 % 18446744073709551616 AS UBIGINT)
+          FROM fnv f JOIN bytes b ON b.doc_id = f.doc_id AND b.i = f.i+1
+        )
+        SELECT f.doc_id, f.h AS fp
+        FROM fnv f JOIN lens l ON f.doc_id = l.doc_id AND f.i = l.n
+    """
+
+
+def _simhash_oracle_sql() -> str:
+    """SQL twin of functions.dedup.simhash_batch: FNV-1a per DISTINCT
+    whitespace token (recursive fold over the word's bytes — words are
+    short, so the recursion is shallow), every occurrence votes ±1 on
+    each of the 64 bits, packed bit b set iff its vote sum > 0; docs
+    with no words hash to 0."""
+    return f"""
+        WITH RECURSIVE
+        {_FNV_PRELUDE},
+        occ AS (
+          SELECT doc_id, unnest(string_split_regex(trim(coalesce(text,'')), '\\s+')) AS w
+          FROM documents WHERE trim(coalesce(text,'')) <> ''
+        ),
+        wd AS (SELECT w, hex(encode(w)) AS hx FROM (SELECT DISTINCT w FROM occ)),
+        bytes AS (
+          SELECT wd.w, i.i, hm.v
+          FROM wd
+          JOIN LATERAL (SELECT unnest(range(1, length(hx)//2 + 1)) AS i) i ON true
+          JOIN hexmap hm ON substring(wd.hx, (2*i.i-1)::BIGINT, 2) = hm.pair
+        ),
+        lens AS (SELECT w, length(hx)//2 AS n FROM wd),
+        fnv(w, i, h) AS (
+          SELECT w, 0::BIGINT, CAST(14695981039346656037 AS UBIGINT) FROM wd
+          UNION ALL
+          SELECT f.w, f.i+1,
+            CAST((CAST(xor(f.h, b.v) AS HUGEINT) * 1099511628211)
+                 % 18446744073709551616 AS UBIGINT)
+          FROM fnv f JOIN bytes b ON b.w = f.w AND b.i = f.i+1
+        ),
+        wh AS (SELECT f.w, f.h FROM fnv f JOIN lens l ON f.w = l.w AND f.i = l.n),
+        votes AS (
+          SELECT o.doc_id, b.b,
+                 sum(CASE WHEN (wh.h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+          FROM occ o JOIN wh ON o.w = wh.w
+          CROSS JOIN (SELECT unnest(range(64)) AS b) b
+          GROUP BY o.doc_id, b.b
+        ),
+        packed AS (
+          SELECT doc_id,
+                 CAST(sum(CASE WHEN v > 0 THEN CAST(1 AS HUGEINT) << b ELSE 0 END)
+                      % 18446744073709551616 AS UBIGINT) AS simhash
+          FROM votes GROUP BY doc_id
+        )
+        SELECT d.doc_id, coalesce(p.simhash, 0) AS simhash
+        FROM (SELECT DISTINCT doc_id FROM documents) d
+        LEFT JOIN packed p ON d.doc_id = p.doc_id
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "q1_lineitem": """
@@ -961,6 +1047,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "hex_cell_customers": _hex_cell_oracle_sql(),
         "lang_id_docs": _lang_id_oracle_sql(),
+        "simhash_docs": _simhash_oracle_sql(),
+        "fingerprint_docs": _fingerprint_oracle_sql(),
         "knn_customers": """
             WITH pts AS (
               SELECT c_custkey AS id,

@@ -83,7 +83,8 @@ def token_pieces_batch(df: pd.DataFrame) -> pd.DataFrame:
 
 def fingerprint_batch(df: pd.DataFrame) -> pd.DataFrame:
     """doc_id, fp — 64-bit FNV-1a document fingerprint (stable across
-    processes; rows-only oracle since DuckDB's hash() differs)."""
+    processes; DuckDB-oracled via a recursive-CTE FNV fold — see
+    ``oracle_sql()['fingerprint_docs']``)."""
     fp = hash64_str(df["text"].fillna("").tolist())
     return pd.DataFrame({"doc_id": df["doc_id"], "fp": fp.astype("uint64")})
 
