@@ -378,8 +378,10 @@ def build_way_refs_index_sharded(ways_ds) -> "ray.ObjectRef":
 
 @ray.remote(num_cpus=0.25)
 def _block_kind_ranges(tbl: pa.Table):
-    """Per-kind (min, max) id of a mixed-kind element block (one task
-    serves BOTH index builds)."""
+    """Per-kind (min, max) id of a mixed-kind element block plus the
+    block's per-kind row counts (one task serves BOTH index builds AND
+    the relation-branch sizing, so the pipeline needs no separate
+    count execution)."""
     import pyarrow.compute as pc
 
     out = []
@@ -391,10 +393,13 @@ def _block_kind_ranges(tbl: pa.Table):
         else:
             arr = ids.to_numpy(zero_copy_only=False)
             out.append((int(arr.min()), int(arr.max())))
+    ekn = ek.to_numpy(zero_copy_only=False)
+    counts = np.bincount(ekn, minlength=3)
+    out.append((int(counts[0]), int(counts[1]), int(counts[2])))
     return out
 
 
-def build_sharded_indexes_from_all(all_el, want_way_index: bool = True):
+def build_sharded_indexes_from_all(all_el, want_way_index: bool = True, return_counts: bool = False):
     """ONE sweep over the materialized union element blocks → kind-aware
     sharded node and way-refs indexes → (node_ref, way_ref | None).
 
@@ -419,6 +424,9 @@ def build_sharded_indexes_from_all(all_el, want_way_index: bool = True):
 
     node_ref = mk(ShardedNodeIndex, 0, 0)
     way_ref = mk(ShardedWayRefsIndex, 1, 1) if want_way_index else None
+    if return_counts:
+        kind_counts = tuple(int(sum(r[2][k] for r in ranges)) for k in range(3))
+        return node_ref, way_ref, kind_counts
     return node_ref, way_ref
 
 

@@ -69,6 +69,7 @@ def ingest_features(documents_ds, config: EngineConfig | None = None, all_el=Non
 
     # broadcast indexes are built ONCE and shared by both joins
     node_idx_ref = way_idx_ref = None
+    n_rel_hint = None
     if mode == "broadcast" and need_ways:
         if (
             all_el is not None
@@ -76,10 +77,13 @@ def ingest_features(documents_ds, config: EngineConfig | None = None, all_el=Non
             and total_elements > joins.SHARDED_INDEX_THRESHOLD
         ):
             # one min/max sweep over the materialized blocks replaces
-            # two filtered-scan executions (fixed ~5s → ~1s)
-            node_idx_ref, way_idx_ref = joins.build_sharded_indexes_from_all(
-                all_el, cfg.ingest_relation
+            # two filtered-scan executions (fixed ~5s → ~1s); the same
+            # sweep yields per-kind counts, so the relation branch can
+            # be sized WITHOUT its own materialize+count barrier
+            node_idx_ref, way_idx_ref, kind_counts = joins.build_sharded_indexes_from_all(
+                all_el, cfg.ingest_relation, return_counts=True
             )
+            n_rel_hint = kind_counts[2]
         else:
             node_idx_ref = joins.build_node_index_auto(nodes_ds)
             if cfg.ingest_relation:
@@ -116,35 +120,60 @@ def ingest_features(documents_ds, config: EngineConfig | None = None, all_el=Non
                 )
             )
         if cfg.ingest_relation:
-            prepared_r = rels_ds.map_batches(
-                F.prepare_relations_batch, batch_format="pyarrow", zero_copy_batch=True
-            ).materialize()
-            n_rel = prepared_r.count()
-            if n_rel:
-                n_blocks = max(
-                    1, min(n_rel, -(-n_rel // cfg.relation_encode_batch_size))
-                )
-                # right-size in BOTH directions: task == block in Ray
-                # Data, so hundreds of sub-batch-size relation blocks
-                # cost ~20ms of dispatch each (measured 6.3s → 1.2s for
-                # the whole branch at 60k relations / 256 parse blocks)
-                nb = prepared_r.num_blocks()
-                if nb < n_blocks or nb > 2 * n_blocks:
-                    prepared_r = prepared_r.repartition(n_blocks)
-                import ray as _ray
+            import ray as _ray
 
-                def encode_rel(b):
-                    return F.encode_relations_batch(
-                        joins.resolve_relations_batch(
-                            b, _ray.get(way_idx_ref), _ray.get(node_idx_ref)
+            def encode_rel(b):
+                return F.encode_relations_batch(
+                    joins.resolve_relations_batch(
+                        b, _ray.get(way_idx_ref), _ray.get(node_idx_ref)
+                    )
+                )
+
+            if n_rel_hint is not None:
+                # count came free with the index sweep: prepare →
+                # repartition → encode fuse into ONE lazy execution
+                # (the old path's materialize+count barrier was a
+                # full extra pass + ~1s ramp). n_rel_hint counts RAW
+                # relations (prepare may drop some), so blocks are at
+                # most relation_encode_batch_size rows — fine-grained
+                # in the safe direction.
+                if n_rel_hint:
+                    n_blocks = max(
+                        1,
+                        min(n_rel_hint, -(-n_rel_hint // cfg.relation_encode_batch_size)),
+                    )
+                    branches.append(
+                        rels_ds.map_batches(
+                            F.prepare_relations_batch,
+                            batch_format="pyarrow",
+                            zero_copy_batch=True,
+                        )
+                        .repartition(n_blocks)
+                        .map_batches(
+                            encode_rel, batch_format="pyarrow", zero_copy_batch=True
                         )
                     )
-
-                branches.append(
-                    prepared_r.map_batches(
-                        encode_rel, batch_format="pyarrow", zero_copy_batch=True
+            else:
+                prepared_r = rels_ds.map_batches(
+                    F.prepare_relations_batch, batch_format="pyarrow", zero_copy_batch=True
+                ).materialize()
+                n_rel = prepared_r.count()
+                if n_rel:
+                    n_blocks = max(
+                        1, min(n_rel, -(-n_rel // cfg.relation_encode_batch_size))
                     )
-                )
+                    # right-size in BOTH directions: task == block in Ray
+                    # Data, so hundreds of sub-batch-size relation blocks
+                    # cost ~20ms of dispatch each (measured 6.3s → 1.2s for
+                    # the whole branch at 60k relations / 256 parse blocks)
+                    nb = prepared_r.num_blocks()
+                    if nb < n_blocks or nb > 2 * n_blocks:
+                        prepared_r = prepared_r.repartition(n_blocks)
+                    branches.append(
+                        prepared_r.map_batches(
+                            encode_rel, batch_format="pyarrow", zero_copy_batch=True
+                        )
+                    )
         if not branches:
             raise ValueError("all element kinds disabled")
         if cfg.post_map is not None:

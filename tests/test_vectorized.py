@@ -251,3 +251,43 @@ def test_combined_sharded_indexes_equal_driver(ray_session):
     g1, c1, r1 = w_cmb.lookup_refs(wkeys)
     g2, c2, r2 = w_drv.lookup_refs(wkeys)
     assert np.array_equal(g1, g2) and np.array_equal(c1, c2) and np.array_equal(r1, r2)
+
+
+def test_lazy_relation_branch_equals_barrier_path(ray_session, monkeypatch):
+    """The fused broadcast plan above SHARDED_INDEX_THRESHOLD sizes its
+    relation branch from the index sweep's kind counts (no
+    materialize+count barrier). Forcing that path on a small corpus
+    must give the identical feature set to the driver-index path, and
+    the sweep's counts must equal the real per-kind totals."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ingest_ray import joins
+    from ingest_ray.config import EngineConfig
+    from ingest_ray.elements import elements_all_dataset
+    from ingest_ray.pipeline import ingest_features
+    from ingest_ray.synth import synth_documents
+
+    docs_tbl = synth_documents(20_000)
+    docs = rd.from_arrow(docs_tbl)
+
+    all_el = elements_all_dataset(docs).materialize()
+    _n, _w, counts = joins.build_sharded_indexes_from_all(all_el, True, return_counts=True)
+    import pyarrow.compute as pc
+
+    el_tbl = pa.concat_tables(
+        list(all_el.iter_batches(batch_format="pyarrow", batch_size=1 << 20))
+    )
+    for k in range(3):
+        assert counts[k] == len(el_tbl.filter(pc.equal(el_tbl.column("ekind"), k)))
+
+    def run():
+        feats = ingest_features(rd.from_arrow(docs_tbl), EngineConfig(join_mode="auto"))
+        return sorted(
+            (r["key"], bytes(r["payload"])) for r in feats.take_all()
+        )
+
+    base = run()
+    monkeypatch.setattr(joins, "SHARDED_INDEX_THRESHOLD", 1)
+    forced = run()
+    assert forced == base and len(base) > 0
