@@ -79,6 +79,162 @@ def parse_osm_change_xml(text: str) -> list[dict]:
     return changes
 
 
+class _O5Reader:
+    """Cursor over o5m/o5c bytes: LEB128 uvarints, o5m signed varints
+    (bit0 of the assembled value is the sign: ``-(u>>1)-1`` when set),
+    and the 15000-entry rolling string table (most-recent-first
+    references; only entries ≤250 bytes are stored)."""
+
+    def __init__(self, data: bytes, pos: int = 0):
+        self.d = data
+        self.p = pos
+        self.strings: list[bytes] = []
+
+    def u(self) -> int:
+        v = shift = 0
+        while True:
+            b = self.d[self.p]
+            self.p += 1
+            v |= (b & 0x7F) << shift
+            if not b & 0x80:
+                return v
+            shift += 7
+
+    def s(self) -> int:
+        v = self.u()
+        return -(v >> 1) - 1 if v & 1 else v >> 1
+
+    def _store(self, raw: bytes) -> None:
+        if len(raw) <= 250:
+            self.strings.append(raw)
+            if len(self.strings) > 15_000:
+                del self.strings[0]
+
+    def string_pair(self) -> bytes:
+        """One string-table entry: inline (ref 0, NUL-terminated raw
+        bytes — one NUL for single strings, two for key\\0value\\0
+        pairs, decided by the caller's split) or a back-reference."""
+        ref = self.u()
+        if ref:
+            return self.strings[-ref]
+        start = self.p
+        nuls = 0
+        while nuls < 2:
+            if self.d[self.p] == 0:
+                nuls += 1
+            self.p += 1
+        raw = self.d[start : self.p - 1]  # strip trailing NUL
+        self._store(raw)
+        return raw
+
+    def single_string(self) -> bytes:
+        ref = self.u()
+        if ref:
+            return self.strings[-ref]
+        start = self.p
+        while self.d[self.p] != 0:
+            self.p += 1
+        raw = self.d[start : self.p]
+        self.p += 1
+        self._store(raw)
+        return raw
+
+
+def parse_o5c(data: bytes) -> list[dict]:
+    """o5c binary (the o5m change variant — the reference's fixture
+    twins at /root/reference/tests/data/0/changeset{0-3}.o5c) → the
+    same ``changes`` list as :func:`parse_osm_change_xml`.
+
+    Public o5m framing: 0xFF reset (clears every delta counter and the
+    string table), 0xE0 length-prefixed header ("o5c2"), 0x10/0x11/0x12
+    length-prefixed node/way/relation records, 0xDB/0xDC skippable
+    bbox/timestamp, 0xFE end. All ids, coords and refs are delta-coded
+    against per-stream counters. o5c cannot distinguish create from
+    modify — both surface as op "modify", which ``apply_changeset``
+    treats as the same drop+append upsert; a record whose payload ends
+    right after its version info is a delete (unit-tested byte-equal
+    to the XML fixtures' parse, modulo that create/modify collapse).
+    """
+    r = _O5Reader(bytes(data))
+    d = r.d
+    n = len(d)
+    # delta counters (one shared id stream; way refs and the three
+    # relation member types each have their own reference stream)
+    idc = 0
+    lon = lat = 0
+    wayref = 0
+    memb = [0, 0, 0]
+    ts = 0
+    changes: list[dict] = []
+    KINDS = ("node", "way", "relation")
+
+    while r.p < n:
+        t = d[r.p]
+        r.p += 1
+        if t == 0xFF:
+            idc = lon = lat = ts = wayref = 0
+            memb[:] = [0, 0, 0]
+            r.strings.clear()
+            continue
+        if t == 0xFE:
+            break
+        ln = r.u()
+        end = r.p + ln
+        if t in (0xE0, 0xDB, 0xDC) or not 0x10 <= t <= 0x12:
+            r.p = end
+            continue
+        kind_i = t - 0x10
+        idc += r.s()
+        version = r.u()
+        if version:
+            ts += r.s()
+            if ts:
+                r.s()  # changeset delta (unused)
+                r.string_pair()  # uid+user author pair (unused)
+        elem: dict = {"id": idc}
+        if r.p >= end:  # o5c delete: id+version only
+            changes.append({"op": "delete", "kind": KINDS[kind_i], "element": elem})
+            continue
+        if kind_i == 0:
+            lon += r.s()
+            lat += r.s()
+            elem["lon"] = lon * 1e-7
+            elem["lat"] = lat * 1e-7
+        elif kind_i == 1:
+            rl = r.u()  # read BEFORE taking r.p (left-to-right eval)
+            ref_end = r.p + rl
+            refs = []
+            while r.p < ref_end:
+                wayref += r.s()
+                refs.append(wayref)
+            elem["refs"] = refs
+        else:
+            rl = r.u()
+            ref_end = r.p + rl
+            members = []
+            while r.p < ref_end:
+                delta = r.s()
+                tr = r.single_string()
+                mtype = int(tr[:1])
+                memb[mtype] += delta
+                members.append(
+                    {
+                        "mtype": KINDS[mtype],
+                        "role": tr[1:].decode("utf-8"),
+                        "ref": memb[mtype],
+                    }
+                )
+            elem["members"] = members
+        tags = []
+        while r.p < end:
+            raw = r.string_pair()
+            k, _, v = raw.partition(b"\x00")
+            tags.append((k.decode("utf-8"), v.decode("utf-8")))
+        elem["tags"] = tags
+        changes.append({"op": "modify", "kind": KINDS[kind_i], "element": elem})
+    return changes
+
+
 def _ids_of(changes: list[dict], kind: str, ops: tuple[str, ...]) -> np.ndarray:
     out = [c["element"]["id"] for c in changes if c["kind"] == kind and c["op"] in ops]
     return np.array(sorted(set(out)), dtype=np.int64)

@@ -281,3 +281,70 @@ def test_patch_tiles_rounds_match_fresh_store(tmp_path):
         )
         assert got == want
     assert saw_incremental
+
+
+def test_parse_o5c_equals_xml_fixtures():
+    """The o5c BINARY fixtures must parse to the same change sets as
+    their XML twins (o5c collapses create/modify into one upsert op —
+    semantically identical under apply_changeset's drop+append)."""
+    from ingest_ray.changeset import parse_o5c, parse_osm_change_xml
+
+    def norm(changes):
+        out = []
+        for c in changes:
+            e = dict(c["element"])
+            op = "modify" if c["op"] in ("create", "modify") else "delete"
+            if op == "delete":
+                e = {"id": e["id"]}
+            else:
+                e.setdefault("tags", [])
+                if "lon" in e:
+                    e["lon"] = round(e["lon"], 7)
+                    e["lat"] = round(e["lat"], 7)
+                if "members" in e:
+                    e["members"] = tuple(
+                        tuple(sorted(m.items())) for m in e["members"]
+                    )
+                for k in ("refs", "tags"):
+                    if k in e:
+                        e[k] = tuple(tuple(x) if isinstance(x, list) else x for x in e[k])
+            out.append((op, c["kind"], tuple(sorted(e.items()))))
+        return out
+
+    for i in range(4):
+        with open(f"/root/reference/tests/data/0/changeset{i}.xml") as f:
+            a = norm(parse_osm_change_xml(f.read()))
+        with open(f"/root/reference/tests/data/0/changeset{i}.o5c", "rb") as f:
+            b = norm(parse_o5c(f.read()))
+        assert a == b, f"changeset{i} o5c parse diverges from XML"
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_o5c_rounds_match_xml_rounds():
+    """Driving the changeset engine from the o5c BINARIES produces the
+    same final store as driving it from the XML fixtures."""
+    import ray.data as rd
+
+    from ingest_ray.changeset import parse_o5c, parse_osm_change_xml
+
+    cfg = EngineConfig(join_mode="broadcast")
+    docs = rd.from_arrow(
+        __import__("ingest_ray.synth", fromlist=["golden_documents"]).golden_documents()
+    )
+
+    def run(rounds):
+        current = _collect(ingest_features(docs, cfg))
+        state = None
+        for changes in rounds:
+            delta, removed, state = apply_changeset(docs, changes, cfg, element_tables=state)
+            delta_t = _collect(delta) if delta is not None else current.schema.empty_table()
+            current = merge_features(current, delta_t, removed)
+        return sorted((r["key"], bytes(r["payload"])) for r in current.to_pylist())
+
+    xml_rounds, o5c_rounds = [], []
+    for i in range(4):
+        with open(f"/root/reference/tests/data/0/changeset{i}.xml") as f:
+            xml_rounds.append(parse_osm_change_xml(f.read()))
+        with open(f"/root/reference/tests/data/0/changeset{i}.o5c", "rb") as f:
+            o5c_rounds.append(parse_o5c(f.read()))
+    assert run(o5c_rounds) == run(xml_rounds)
