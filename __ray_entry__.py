@@ -500,6 +500,87 @@ def q_changeset_golden(sf_dir: str):
     return out.select(["key", "ftype", "kind", "minx", "miny", "maxx", "maxy"])
 
 
+def q_changeset_o5c(sf_dir: str):
+    """Same four update rounds as ``changeset_golden`` but driven from
+    the reference's o5c BINARY fixtures via ``parse_o5c`` (LEB128 +
+    delta streams + rolling string table) — pytest pins the parse and
+    the final store to the XML-driven run."""
+    import ray.data as rd
+
+    from ingest_ray.changeset import apply_changeset, merge_features, parse_o5c
+    from ingest_ray.config import EngineConfig
+    from ingest_ray.pipeline import ingest_features
+    from ingest_ray.synth import golden_documents
+
+    docs = rd.from_arrow(golden_documents())
+    cfg = EngineConfig(join_mode="broadcast")
+    out = pa.concat_tables(
+        list(ingest_features(docs, cfg).iter_batches(batch_format="pyarrow", batch_size=1 << 20))
+    )
+    state = None
+    for i in range(4):
+        with open(f"/root/reference/tests/data/0/changeset{i}.o5c", "rb") as f:
+            changes = parse_o5c(f.read())
+        delta, removed, state = apply_changeset(docs, changes, cfg, element_tables=state)
+        delta_t = (
+            pa.concat_tables(
+                list(delta.iter_batches(batch_format="pyarrow", batch_size=1 << 20))
+            )
+            if delta is not None
+            else out.schema.empty_table()
+        )
+        out = merge_features(out, delta_t, removed)
+    return out.select(["key", "ftype", "kind", "minx", "miny", "maxx", "maxy"])
+
+
+def q_patch_tiles_store(sf_dir: str):
+    """Incremental TILE-STORE patching: commit a store, push the four
+    changeset rounds through ``checkpoint.patch_tiles`` (only affected
+    grid cells rewrite, pruned via manifest key zone maps), and return
+    the final tile assignments. The pytest twin asserts byte equality
+    with a from-scratch optimize of the final corpus AND that
+    untouched cells' files are never rewritten."""
+    import shutil
+    import tempfile
+
+    import ray.data as rd
+
+    from ingest_ray.changeset import apply_changeset, merge_features, parse_o5c
+    from ingest_ray.checkpoint import optimize_to_tiles, patch_tiles, read_tiles
+    from ingest_ray.config import EngineConfig
+    from ingest_ray.pipeline import ingest_features
+    from ingest_ray.synth import golden_documents
+
+    docs = rd.from_arrow(golden_documents())
+    cfg = EngineConfig(join_mode="broadcast")
+    current = pa.concat_tables(
+        list(ingest_features(docs, cfg).iter_batches(batch_format="pyarrow", batch_size=1 << 20))
+    )
+    store = tempfile.mkdtemp(prefix="ingest_ray_patch_store_")
+    try:
+        optimize_to_tiles(
+            rd.from_arrow(current), store, grid_divs=(4, 4), leaf_capacity=2, resume=False
+        ).materialize()
+        state = None
+        for i in range(4):
+            with open(f"/root/reference/tests/data/0/changeset{i}.o5c", "rb") as f:
+                changes = parse_o5c(f.read())
+            delta, removed, state = apply_changeset(docs, changes, cfg, element_tables=state)
+            delta_t = (
+                pa.concat_tables(
+                    list(delta.iter_batches(batch_format="pyarrow", batch_size=1 << 20))
+                )
+                if delta is not None
+                else current.schema.empty_table()
+            )
+            current = merge_features(current, delta_t, removed)
+            patch_tiles(store, delta_t, removed, leaf_capacity=2)
+        rows = read_tiles(store).select_columns(["key", "tile_cell", "tile_path"]).to_pandas()
+    finally:
+        shutil.rmtree(store, ignore_errors=True)
+    return rows.sort_values(["key"]).reset_index(drop=True)
+
+
 def q_cells_synth(sf_dir: str):
     from ingest_ray.cells import add_cell_columns
 
@@ -761,6 +842,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tiles_synth": q_tiles_synth,
         "tiles_aggregated_synth": q_tiles_aggregated_synth,
         "changeset_golden": q_changeset_golden,
+        "changeset_o5c": q_changeset_o5c,
+        "patch_tiles_store": q_patch_tiles_store,
         "cells_synth": q_cells_synth,
         "knn_geo_synth": q_knn_geo_synth,
         "pip_geo_synth": q_pip_geo_synth,
