@@ -459,6 +459,35 @@ def q_tiles_aggregated_synth(sf_dir: str):
     )
 
 
+def q_tiles_store_aggregated(sf_dir: str):
+    """Skew-defused store write: tile paths from the aggregated divide
+    (no cell co-location), write shuffled by PHYSICAL TILE (thousands
+    of capacity-bounded groups — the salted-key exchange the north
+    rule demands, with the divide's own path bits as the salt), then
+    distributed per-cell manifest assembly. The pytest twin pins the
+    store to byte equality with the exact per-cell path."""
+    import shutil
+    import tempfile
+
+    from ingest_ray.checkpoint import optimize_to_tiles, read_tiles
+
+    feats = _synth_features(sf_dir)
+    store = tempfile.mkdtemp(prefix="ingest_ray_aggr_store_")
+    try:
+        optimize_to_tiles(
+            feats, store, grid_divs=(8, 8), leaf_capacity=1000, resume=False,
+            divide="aggregated",
+        ).materialize()
+        rows = (
+            read_tiles(store)
+            .select_columns(["key", "tile_cell", "tile_path"])
+            .to_pandas()
+        )
+    finally:
+        shutil.rmtree(store, ignore_errors=True)
+    return rows.sort_values(["key"]).reset_index(drop=True)
+
+
 def q_changeset_golden(sf_dir: str):
     """Incremental update rounds 0-3 (the reference's pinned o5c
     replication loop, tests/ingest.rs:90-400): create/modify/delete
@@ -841,6 +870,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "golden_features": q_golden_features,
         "tiles_synth": q_tiles_synth,
         "tiles_aggregated_synth": q_tiles_aggregated_synth,
+        "tiles_store_aggregated": q_tiles_store_aggregated,
         "changeset_golden": q_changeset_golden,
         "changeset_o5c": q_changeset_o5c,
         "patch_tiles_store": q_patch_tiles_store,

@@ -164,6 +164,100 @@ def write_cell_group(group: pa.Table, out_path: str, leaf_capacity: int = LEAF_C
     )
 
 
+def write_tile_group(group: pa.Table, out_path: str) -> pa.Table:
+    """One PHYSICAL tile's rows (pre-assigned tile_cell/tile_path) →
+    canonical key-sorted parquet file + one manifest-meta row.
+
+    This is the skew-defused write body: the shuffle key is the tile,
+    not the grid cell, so task size is bounded by the divide's leaf
+    rule (≤ leaf_capacity except the all-big edge case) no matter how
+    dense the hottest cell is. Output bytes match
+    :func:`write_cell_group`'s file for the same feature set (the cell
+    variant slices its canon-sorted cell table per path; here the
+    per-tile table is canon-sorted directly — byte-equality is pinned
+    by tests)."""
+    cell = int(group.column("tile_cell")[0].as_py())
+    path = int(group.column("tile_path")[0].as_py())
+    keys0 = group.column("key").to_numpy(zero_copy_only=False)
+    order = np.argsort(keys0, kind="stable")
+    tiled = _canon_table(group.take(pa.array(order, pa.int64())).combine_chunks())
+    keys = keys0[order].astype(np.uint64)
+
+    cell_dir = os.path.join(out_path, "tiles", f"c{cell:05d}")
+    os.makedirs(cell_dir, exist_ok=True)
+    fname = f"p{path:x}.parquet"
+    final = os.path.join(cell_dir, fname)
+    tmp = final + f".tmp.{os.getpid()}"
+    pq.write_table(tiled, tmp)
+    os.replace(tmp, final)
+    return pa.table(
+        {
+            "cell": pa.array([cell], pa.int32()),
+            "tile_path": pa.array([path], pa.int64()),
+            "rows": pa.array([len(tiled)], pa.int64()),
+            "file": pa.array([os.path.join(f"c{cell:05d}", fname)], pa.string()),
+            "minx": pa.array(
+                [float(tiled.column("minx").to_numpy(zero_copy_only=False).min())]
+            ),
+            "miny": pa.array(
+                [float(tiled.column("miny").to_numpy(zero_copy_only=False).min())]
+            ),
+            "maxx": pa.array(
+                [float(tiled.column("maxx").to_numpy(zero_copy_only=False).max())]
+            ),
+            "maxy": pa.array(
+                [float(tiled.column("maxy").to_numpy(zero_copy_only=False).max())]
+            ),
+            "key_xor": pa.array([int(np.bitwise_xor.reduce(keys))], pa.uint64()),
+            "key_min": pa.array([int(keys.min())], pa.uint64()),
+            "key_max": pa.array([int(keys.max())], pa.uint64()),
+        }
+    )
+
+
+def _write_cell_manifest_from_metas(df, out_path: str) -> pa.Table:
+    """One cell's tile-meta rows → the same committed manifest JSON
+    :func:`write_cell_group` writes (tiles ordered by path). Runs as a
+    map_groups body so manifest assembly is distributed — the driver
+    only ever sees the per-tile summary rows."""
+    df = df.sort_values("tile_path")
+    cell = int(df["cell"].iloc[0])
+    tiles_meta = [
+        {
+            "path": int(r["tile_path"]),
+            "rows": int(r["rows"]),
+            "file": r["file"],
+            "bbox": [float(r["minx"]), float(r["miny"]), float(r["maxx"]), float(r["maxy"])],
+            "key_xor": int(r["key_xor"]),
+            "key_min": int(r["key_min"]),
+            "key_max": int(r["key_max"]),
+        }
+        for _, r in df.iterrows()
+    ]
+    manifest = {
+        "version": MANIFEST_VERSION,
+        "cell": cell,
+        "status": "committed",
+        "rows": int(df["rows"].sum()),
+        "tiles": tiles_meta,
+        "wall_s": 0.0,
+    }
+    os.makedirs(_manifest_dir(out_path), exist_ok=True)
+    mpath = os.path.join(_manifest_dir(out_path), f"c{cell:05d}.json")
+    tmp = mpath + f".tmp.{os.getpid()}"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    os.replace(tmp, mpath)
+    return pa.table(
+        {
+            "cell": pa.array([cell] * len(tiles_meta), pa.int32()),
+            "tile_path": pa.array([t["path"] for t in tiles_meta], pa.int64()),
+            "rows": pa.array([t["rows"] for t in tiles_meta], pa.int64()),
+            "file": pa.array([t["file"] for t in tiles_meta], pa.string()),
+        }
+    )
+
+
 def optimize_to_tiles(
     features_ds,
     out_path: str,
@@ -171,6 +265,7 @@ def optimize_to_tiles(
     leaf_capacity: int = LEAF_CAPACITY,
     resume: bool = True,
     bounds: tuple[float, float, float, float] | None = None,
+    divide: str = "exact",
 ):
     """The full optimize pass: bounds → owner cells → (skip completed)
     → per-cell divide+write. Returns the manifest Dataset.
@@ -178,7 +273,28 @@ def optimize_to_tiles(
     Equivalent of Ingest::optimize (/root/reference/src/lib.rs:408-602)
     with the skip-map dedup replaced by owner-cell assignment and the
     single root-builder replaced by per-cell manifests.
+
+    ``divide``:
+
+    * ``"exact"`` — groupby(grid cell) co-locates each cell and runs
+      the reference divide in one task. Simple, but a dense-city cell
+      is one straggler task holding the whole cell in memory — the
+      planet-scale skew the north rule names.
+    * ``"aggregated"`` — the skew-defused path: tile paths come from
+      :func:`ingest_ray.tiles.assign_tiles_aggregated` (path-histogram
+      aggregation; NO cell co-location), then the write shuffles by
+      the fine-grained PHYSICAL TILE key — thousands of
+      capacity-bounded groups instead of tens of unbounded cells,
+      which is exactly what a salted-key exchange buys, with the salt
+      being the divide's own path bits. Manifest assembly is a second
+      small groupby(cell) over tile-meta rows (one row per tile, never
+      per feature). Output files and manifests are byte-identical to
+      the exact path (pinned by tests).
     """
+    if divide == "aggregated":
+        return _optimize_to_tiles_aggregated(
+            features_ds, out_path, grid_divs, leaf_capacity, resume, bounds
+        )
     # materialize on BOTH paths (same fix as tiles.assign_tiles):
     # coalesce_blocks inspects count()/num_blocks(), which on a lazy
     # Dataset executes the whole upstream DAG once and the tile shuffle
@@ -214,6 +330,49 @@ def optimize_to_tiles(
     return with_cell.groupby("tile_cell").map_groups(
         lambda g: write_cell_group(g, out_path, leaf_capacity),
         batch_format="pyarrow",
+    )
+
+
+def _optimize_to_tiles_aggregated(
+    features_ds,
+    out_path: str,
+    grid_divs: tuple[int, int],
+    leaf_capacity: int,
+    resume: bool,
+    bounds: tuple[float, float, float, float] | None,
+):
+    """See :func:`optimize_to_tiles` ``divide="aggregated"``."""
+    from .tiles import assign_tiles_aggregated
+
+    features_ds = features_ds.materialize()
+    if bounds is None:
+        bounds = global_bounds(features_ds)
+    os.makedirs(out_path, exist_ok=True)
+    with open(os.path.join(out_path, "bounds.json"), "w") as f:
+        json.dump({"bounds": list(bounds), "grid_divs": list(grid_divs)}, f)
+
+    assigned = assign_tiles_aggregated(
+        features_ds, grid_divs=grid_divs, leaf_capacity=leaf_capacity, bounds=bounds
+    )
+    if resume:
+        done = completed_cells(out_path)
+        if done:
+            done_arr = np.array(sorted(done), dtype=np.int32)
+
+            def skip_done(batch: pa.Table) -> pa.Table:
+                cells = batch.column("tile_cell").to_numpy(zero_copy_only=False)
+                return batch.filter(pa.array(~np.isin(cells, done_arr)))
+
+            assigned = assigned.map_batches(
+                skip_done, batch_format="pyarrow", zero_copy_batch=True
+            )
+
+    metas = assigned.groupby(["tile_cell", "tile_path"]).map_groups(
+        lambda g: write_tile_group(g, out_path), batch_format="pyarrow"
+    )
+    return metas.groupby("cell").map_groups(
+        lambda df: _write_cell_manifest_from_metas(df, out_path),
+        batch_format="pandas",
     )
 
 

@@ -475,7 +475,7 @@ def assign_tiles_aggregated(
     ).materialize()
 
     # pass 1: per-cell feature-bounds union (quad bbox = q_bbox fold,
-    # src/lib.rs:516-519) — partial per batch, tiny driver combine
+    # src/lib.rs:516-519) — partial per batch, distributed combine
     def cell_bbox_partial(b: pa.Table) -> pa.Table:
         cell = b.column("tile_cell").to_numpy(zero_copy_only=False)
         order = np.argsort(cell, kind="stable")
@@ -491,23 +491,33 @@ def assign_tiles_aggregated(
         }
         return pa.table(out)
 
-    parts = pa.concat_tables(
-        list(
-            with_cell.map_batches(cell_bbox_partial, batch_format="pyarrow", zero_copy_batch=True)
-            .iter_batches(batch_format="pyarrow", batch_size=1 << 20)
+    # combine the per-batch partials DISTRIBUTED (groupby(cell)
+    # aggregate): the driver receives exactly one row per grid cell —
+    # O(cells), independent of block count (the partial table itself
+    # is O(blocks × cells))
+    from ray.data.aggregate import Max, Min, Sum
+
+    combined = (
+        with_cell.map_batches(cell_bbox_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("cell")
+        .aggregate(
+            Min("minx", alias_name="minx"),
+            Min("miny", alias_name="miny"),
+            Max("maxx", alias_name="maxx"),
+            Max("maxy", alias_name="maxy"),
+            Sum("n", alias_name="n"),
         )
+        .to_pandas()
     )
-    pc_ = parts.to_pandas()
-    gb = pc_.groupby("cell")
     cell_bbox = {
-        int(c): (
-            np.float32(g["minx"].min()),
-            np.float32(g["miny"].min()),
-            np.float32(g["maxx"].max()),
-            np.float32(g["maxy"].max()),
-            int(g["n"].sum()),
+        int(r["cell"]): (
+            np.float32(r["minx"]),
+            np.float32(r["miny"]),
+            np.float32(r["maxx"]),
+            np.float32(r["maxy"]),
+            int(r["n"]),
         )
-        for c, g in gb
+        for _, r in combined.iterrows()
     }
     bbox_ref = ray.put(cell_bbox)
 

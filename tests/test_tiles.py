@@ -118,3 +118,62 @@ def test_optimize_write_and_resume(ray_session, tmp_path):
     rows2 = manifest2.take_all()
     assert {r["cell"] for r in rows2} == {victim}
     assert read_tiles(out_dir).count() == n
+
+
+def test_aggregated_write_mode_byte_equals_exact(ray_session, tmp_path):
+    """optimize_to_tiles(divide="aggregated") — the skew-defused write
+    that shuffles by PHYSICAL TILE instead of grid cell — must produce
+    a byte-identical store (tile files) and equivalent manifests to
+    the exact per-cell path, on a corpus big enough for multi-level
+    divides."""
+    import ray.data as rd
+
+    from ingest_ray.checkpoint import optimize_to_tiles, read_tiles
+    from ingest_ray.config import EngineConfig
+    from ingest_ray.pipeline import ingest_features
+    from ingest_ray.synth import synth_documents
+
+    docs = rd.from_arrow(synth_documents(30_000))
+    feats = ingest_features(docs, EngineConfig(join_mode="broadcast")).materialize()
+
+    exact = str(tmp_path / "exact")
+    aggr = str(tmp_path / "aggr")
+    optimize_to_tiles(
+        feats, exact, grid_divs=(4, 4), leaf_capacity=64, resume=False
+    ).materialize()
+    optimize_to_tiles(
+        feats, aggr, grid_divs=(4, 4), leaf_capacity=64, resume=False,
+        divide="aggregated",
+    ).materialize()
+
+    def tile_files(root):
+        out = {}
+        troot = os.path.join(root, "tiles")
+        for dirpath, _dirs, names in os.walk(troot):
+            for n in names:
+                p = os.path.join(dirpath, n)
+                out[os.path.relpath(p, troot)] = p
+        return out
+
+    ef, af = tile_files(exact), tile_files(aggr)
+    assert set(ef) == set(af) and len(ef) > 10
+    for rel in ef:
+        with open(ef[rel], "rb") as a, open(af[rel], "rb") as b:
+            assert a.read() == b.read(), f"tile file {rel} bytes differ"
+
+    # manifests: identical content modulo wall_s
+    for name in sorted(os.listdir(os.path.join(exact, "manifest"))):
+        with open(os.path.join(exact, "manifest", name)) as f:
+            me = json.load(f)
+        with open(os.path.join(aggr, "manifest", name)) as f:
+            ma = json.load(f)
+        me.pop("wall_s"), ma.pop("wall_s")
+        assert me == ma, f"manifest {name} differs"
+
+    a = sorted(
+        (r["key"], r["tile_cell"], r["tile_path"]) for r in read_tiles(exact).take_all()
+    )
+    b = sorted(
+        (r["key"], r["tile_cell"], r["tile_path"]) for r in read_tiles(aggr).take_all()
+    )
+    assert a == b
