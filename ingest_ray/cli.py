@@ -88,6 +88,7 @@ def cmd_optimize(args) -> int:
                 grid_divs=(gx, gy),
                 leaf_capacity=args.leaf,
                 resume=not args.no_resume,
+                divide=getattr(args, "divide", "exact"),
             )
             df = manifest.to_pandas()
     else:
@@ -97,6 +98,7 @@ def cmd_optimize(args) -> int:
             grid_divs=(gx, gy),
             leaf_capacity=args.leaf,
             resume=not args.no_resume,
+            divide=getattr(args, "divide", "exact"),
         )
         df = manifest.to_pandas()
     print(
@@ -157,6 +159,13 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--grid", default="8,8", help="X,Y grid divisions")
     p.add_argument("--leaf", type=int, default=50_000, help="tile leaf capacity")
     p.add_argument("--no-resume", action="store_true")
+    p.add_argument(
+        "--divide",
+        default="exact",
+        choices=["exact", "aggregated"],
+        help="exact: per-cell divide in one task; aggregated: skew-defused "
+        "path-histogram divide + per-tile write (byte-identical store)",
+    )
     p.add_argument("--progress", action="store_true", help="print 1 Hz per-stage progress lines (A3 observer)")
     p.add_argument(
         "--staged",
