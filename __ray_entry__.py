@@ -271,6 +271,17 @@ def q_embedding_near_dup(sf_dir: str):
     return embedding_near_pairs(ds, table, threshold=0.4)
 
 
+def q_embedding_near_dup_lsh(sf_dir: str):
+    """Scale path of embedding_near_dup: random-hyperplane LSH buckets
+    + exact in-bucket verification, no corpus broadcast. Band geometry
+    tuned for the synthetic corpus's 0.4 threshold; subset-of-exact
+    and recall are pinned by pytest."""
+    from ingest_ray.functions.dedup import embedding_near_pairs_lsh
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return embedding_near_pairs_lsh(ds, threshold=0.4, bits_per_band=3, num_bands=12)
+
+
 def q_ann_topk(sf_dir: str):
     from ingest_ray.functions.ann import brute_force_topk
 
@@ -889,6 +900,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_dedup_docs": q_minhash_dedup_docs,
         "lang_id_docs": q_lang_id_docs,
         "fingerprint_docs": q_fingerprint_docs,
+        "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
         "lsh_ann": q_lsh_ann,
         "ivf_ann": q_ivf_ann,
     }

@@ -879,3 +879,99 @@ def embedding_near_pairs(emb_ds, emb_table: pa.Table, threshold: float = 0.95):
         return pa.table({"a": pa.array(out_a, pa.int64()), "b": pa.array(out_b, pa.int64())})
 
     return emb_ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def embedding_near_pairs_lsh(
+    emb_ds,
+    threshold: float = 0.95,
+    bits_per_band: int = 8,
+    num_bands: int = 4,
+    seed: int = 7,
+):
+    """Embedding-cosine near-dup at scale: random-hyperplane LSH
+    bucketing + exact in-bucket verification — NO corpus broadcast
+    (the scale path :func:`embedding_near_pairs`'s docstring promises;
+    that brute-force kernel stays as the oracle twin).
+
+    Each vector's sign signature splits into ``num_bands`` bands of
+    ``bits_per_band`` hyperplanes; a vector ships once per band
+    (bounded ×num_bands replication) keyed by its packed band bits,
+    one hash shuffle groups collisions, and every bucket runs the
+    exact normalized-gram test, so output pairs are exact-verified
+    (⊆ brute force — no false positives). Recall is the standard LSH
+    bound 1-(1-p^r)^b with p = 1-θ/π (≈0.97 for cos≥0.95 at the
+    defaults); the pytest pins measured recall vs the brute-force
+    kernel. Duplicate pairs from multi-band collisions collapse in a
+    final (a, b) distinct aggregate.
+    """
+    from .ann import _list_matrix
+    from ..util import splitmix64
+
+    nbits = bits_per_band * num_bands
+    rng = np.random.default_rng(seed)
+    planes_by_dim: dict[int, np.ndarray] = {}
+
+    def band_explode(batch: pa.Table) -> pa.Table:
+        ids = batch.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        mat = _list_matrix(batch.column("embedding"))
+        if len(ids) == 0 or mat.size == 0:
+            return pa.table(
+                {
+                    "bucket": pa.array([], pa.uint64()),
+                    "vec_id": pa.array([], pa.int64()),
+                    "embedding": batch.column("embedding").slice(0, 0),
+                }
+            )
+        dim = mat.shape[1]
+        if dim not in planes_by_dim:  # deterministic per dim: same seed everywhere
+            planes_by_dim[dim] = np.random.default_rng(seed).standard_normal((nbits, dim))
+        planes = planes_by_dim[dim]
+        bits = (mat @ planes.T) >= 0  # (n, nbits)
+        parts_b, parts_i, parts_row = [], [], []
+        weights = (np.uint64(1) << np.arange(bits_per_band, dtype=np.uint64))
+        for b in range(num_bands):
+            seg = bits[:, b * bits_per_band : (b + 1) * bits_per_band]
+            packed = (seg.astype(np.uint64) * weights[None, :]).sum(axis=1, dtype=np.uint64)
+            # salt with the band index so band b's bucket space is disjoint
+            key = splitmix64(packed + np.uint64(b) * np.uint64(0x9E3779B97F4A7C15))
+            parts_b.append(key)
+            parts_i.append(ids)
+            parts_row.append(np.arange(len(ids)))
+        rows = np.concatenate(parts_row)
+        emb = batch.column("embedding")
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        return pa.table(
+            {
+                "bucket": pa.array(np.concatenate(parts_b), pa.uint64()),
+                "vec_id": pa.array(np.concatenate(parts_i), pa.int64()),
+                "embedding": emb.take(pa.array(rows, pa.int64())),
+            }
+        )
+
+    exploded = emb_ds.map_batches(band_explode, batch_format="pyarrow", zero_copy_batch=True)
+
+    PAIRS = pa.schema([pa.field("a", pa.int64()), pa.field("b", pa.int64())])
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        ids = t.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(ids) < 2:
+            return PAIRS.empty_table()
+        # a vector can enter one bucket through several bands only if
+        # two of its bands pack to colliding salted keys (rare) — dedupe
+        uniq, first = np.unique(ids, return_index=True)
+        if len(uniq) < 2:
+            return PAIRS.empty_table()
+        mat = _list_matrix(t.column("embedding"))[first]
+        n = np.linalg.norm(mat, axis=1)
+        n[n == 0] = 1.0
+        mat = mat / n[:, None]
+        sims = mat @ mat.T
+        ai, bi = np.nonzero(np.triu(sims >= threshold, k=1))
+        a = np.minimum(uniq[ai], uniq[bi])
+        b = np.maximum(uniq[ai], uniq[bi])
+        return pa.table({"a": pa.array(a, pa.int64()), "b": pa.array(b, pa.int64())})
+
+    pairs = exploded.groupby("bucket").map_groups(per_bucket, batch_format="pyarrow")
+    # multi-band duplicates collapse in one distinct aggregate
+    return pairs.groupby(["a", "b"]).count().select_columns(["a", "b"])

@@ -184,3 +184,37 @@ def test_ivf_ann_recall(ray_session):
     a = {(r.qid, r.vec_id) for r in approx.itertuples()}
     recall = len(e & a) / len(e)
     assert recall >= 0.9, recall
+
+
+def test_embedding_lsh_pairs_subset_and_recall(ray_session):
+    """LSH-bucketed embedding near-dup: every emitted pair must be a
+    TRUE pair (exact in-bucket verification → no false positives) and
+    measured recall vs the brute-force kernel must clear the standard
+    LSH bound comfortably at the defaults."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from ingest_ray.functions.dedup import embedding_near_pairs, embedding_near_pairs_lsh
+
+    table = pq.read_table(
+        "/root/testdata/sf0.01/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    ds = rd.from_arrow(table)
+    # the synthetic embeddings are near-orthogonal: true pairs only
+    # exist at threshold 0.4 (59 of them), so band geometry is tuned
+    # for p = 1-acos(0.4)/pi ~ 0.63: r=3, b=12 -> theoretical recall
+    # 1-(1-p^3)^12 ~ 0.97
+    exact = {
+        (int(r["a"]), int(r["b"]))
+        for r in embedding_near_pairs(ds, table, threshold=0.4).take_all()
+    }
+    got = {
+        (int(r["a"]), int(r["b"]))
+        for r in embedding_near_pairs_lsh(
+            ds, threshold=0.4, bits_per_band=3, num_bands=12
+        ).take_all()
+    }
+    assert got <= exact, f"false positives: {sorted(got - exact)[:5]}"
+    assert len(exact) > 0
+    recall = len(got) / len(exact)
+    assert recall >= 0.8, f"recall {recall:.3f} over {len(exact)} true pairs"
