@@ -739,6 +739,25 @@ def q_media_features_synth(sf_dir: str):
     return media_features(_synth_docs_ds(sf_dir))
 
 
+def q_media_thumbnails_synth(sf_dir: str):
+    """Actor-pool image resize stage (library-gated real path;
+    deterministic fake decode) — schema evolution + batch sizing are
+    the tested plumbing."""
+    from ingest_ray.functions.multimodal import media_thumbnails
+
+    return media_thumbnails(_synth_docs_ds(sf_dir), out_w=4, out_h=4).drop_columns(
+        ["payload"]
+    )
+
+
+def q_video_frames_synth(sf_dir: str):
+    """Actor-pool video frame sampling (in-batch explode: one row per
+    sampled frame with index + timestamp)."""
+    from ingest_ray.functions.multimodal import video_frames
+
+    return video_frames(_synth_docs_ds(sf_dir), step=2).drop_columns(["frame"])
+
+
 def q_span_invariant(sf_dir: str):
     """Per-document span-sequence hash survives explode→regroup (the
     per-row invariant of BASELINE.json input_hint)."""
@@ -893,6 +912,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_geo_part": q_knn_geo_part,
         "raster_vector_part": q_raster_vector_part,
         "media_features_synth": q_media_features_synth,
+        "media_thumbnails_synth": q_media_thumbnails_synth,
+        "video_frames_synth": q_video_frames_synth,
         "span_invariant": q_span_invariant,
         "simhash_docs": q_simhash_docs,
         "simhash_pairs_docs": q_simhash_pairs_docs,

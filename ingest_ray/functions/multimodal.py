@@ -108,3 +108,134 @@ def media_features(docs_ds, concurrency: int = 2, batch_size: int = 256):
         batch_size=batch_size,
         concurrency=concurrency,
     )
+
+
+class MediaResizeActor:
+    """Actor-pool resize stage: image payloads → fixed-size thumbnails.
+
+    Real path (PIL decode → resize → re-encode) is gated on the
+    library and raises NotImplementedError here; the deterministic
+    fake path treats the payload as a row-major uint8 grid whose
+    shape derives from its length, and area-averages it down to
+    ``(out_h, out_w)`` with one numpy reduce — so batch sizing,
+    schema evolution (payload replaced, width/height appended) and
+    actor reuse are all exercised for real. Non-image rows pass
+    through untouched with null dims.
+    """
+
+    def __init__(self, out_w: int = 8, out_h: int = 8, use_real_decoder: bool = False):
+        if use_real_decoder and not HAVE_PIL:
+            raise NotImplementedError(
+                "real image resize needs PIL — not available in this container"
+            )
+        self.use_real = use_real_decoder and HAVE_PIL
+        self.out_w = out_w
+        self.out_h = out_h
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        types = batch.column("media_type").to_pylist()
+        payloads = batch.column("payload").to_pylist()
+        out_payloads, widths, heights = [], [], []
+        for t, p in zip(types, payloads):
+            if t != "image" or not p:
+                out_payloads.append(p)
+                widths.append(None)
+                heights.append(None)
+                continue
+            arr = np.frombuffer(p, dtype=np.uint8)
+            # fake "decode": squarest grid that fits the byte length
+            w = max(1, int(np.sqrt(len(arr))))
+            h = len(arr) // w
+            grid = arr[: h * w].reshape(h, w).astype(np.float64)
+            # area-average down (pad up to a multiple first)
+            oh, ow = min(self.out_h, h), min(self.out_w, w)
+            ys = (np.arange(h) * oh // h)
+            xs = (np.arange(w) * ow // w)
+            small = np.zeros((oh, ow))
+            cnt = np.zeros((oh, ow))
+            np.add.at(small, (ys[:, None], xs[None, :]), grid)
+            np.add.at(cnt, (ys[:, None], xs[None, :]), 1.0)
+            thumb = (small / np.maximum(cnt, 1.0)).astype(np.uint8)
+            out_payloads.append(thumb.tobytes())
+            widths.append(ow)
+            heights.append(oh)
+        out = batch.drop_columns(["payload"])
+        out = out.append_column("payload", pa.array(out_payloads, pa.binary()))
+        out = out.append_column("thumb_w", pa.array(widths, pa.int32()))
+        return out.append_column("thumb_h", pa.array(heights, pa.int32()))
+
+
+FRAME_BYTES = 32  # fake fixed frame stride inside a video payload
+
+
+class FrameSampleActor:
+    """Actor-pool frame-sampling stage: video payloads → one row per
+    sampled frame (an in-batch explode — output rows ≠ input rows).
+
+    Real path (ffmpeg keyframe extraction) is library-gated; the fake
+    path treats the payload as fixed-stride frames and emits every
+    ``step``-th one with its frame index and a synthetic timestamp —
+    the explode layout (list offsets → take) is the real planet-scale
+    shape. Non-video rows are dropped (this stage's contract is a
+    frames table, not a passthrough).
+    """
+
+    def __init__(self, step: int = 2, fps: float = 30.0, use_real_decoder: bool = False):
+        if use_real_decoder:
+            raise NotImplementedError(
+                "real frame extraction needs ffmpeg — not available in this container"
+            )
+        self.step = max(1, step)
+        self.fps = fps
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        vids = batch.filter(pc.equal(batch.column("media_type"), "video"))
+        refs = vids.column("media_ref").to_pylist()
+        payloads = vids.column("payload").to_pylist()
+        out_ref, out_idx, out_ts, out_frame = [], [], [], []
+        for r, p in zip(refs, payloads):
+            if not p:
+                continue
+            n_frames = max(1, len(p) // FRAME_BYTES)
+            for fi in range(0, n_frames, self.step):
+                out_ref.append(r)
+                out_idx.append(fi)
+                out_ts.append(fi / self.fps)
+                out_frame.append(p[fi * FRAME_BYTES : (fi + 1) * FRAME_BYTES])
+        return pa.table(
+            {
+                "media_ref": pa.array(out_ref, pa.string()),
+                "frame_idx": pa.array(out_idx, pa.int32()),
+                "ts_s": pa.array(out_ts, pa.float64()),
+                "frame": pa.array(out_frame, pa.binary()),
+            }
+        )
+
+
+def media_thumbnails(docs_ds, out_w: int = 8, out_h: int = 8, concurrency: int = 2,
+                     batch_size: int = 256):
+    """documents → media rows with image payloads resized (actor pool)."""
+    media = docs_ds.map_batches(media_spans_table, batch_format="pyarrow", zero_copy_batch=True)
+    return media.map_batches(
+        MediaResizeActor,
+        fn_constructor_kwargs={"out_w": out_w, "out_h": out_h},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+def video_frames(docs_ds, step: int = 2, concurrency: int = 2, batch_size: int = 256):
+    """documents → sampled video frames table (actor pool explode)."""
+    media = docs_ds.map_batches(media_spans_table, batch_format="pyarrow", zero_copy_batch=True)
+    return media.map_batches(
+        FrameSampleActor,
+        fn_constructor_kwargs={"step": step},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
