@@ -70,7 +70,13 @@ def flagship(sf_dir: str, out_dir: str, corpus: str | None = None, join_mode: st
         corpus = corpus_path(_sf_of(sf_dir))
 
     t0 = time.perf_counter()
-    docs = rd.read_parquet(corpus)
+    # right-size the read: the default plan yields ~5 MB blocks whose
+    # fragmentation propagates through parse → encode → union and
+    # forces the pre-shuffle coalesce to do real work (measured 25-30%
+    # whole-flagship win at 4×CPUs blocks vs the default)
+    from ingest_ray.util import cluster_cpus
+
+    docs = rd.read_parquet(corpus, override_num_blocks=max(4 * cluster_cpus(), 64))
     # auto join mode picks the zone-map broadcast path below 50M nodes
     # and the distributed hash join beyond; --scaling forces "shuffle"
     # to measure the planet-scale path (see run_scaling).
