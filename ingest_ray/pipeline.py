@@ -18,6 +18,22 @@ from .config import EngineConfig
 from .elements import elements_dataset
 
 
+def _relation_blocks(n_rel: int, batch_size: int) -> int:
+    """Block count for the relation-encode repartition.
+
+    Balances two measured failure modes at 32 CPUs / 600k relations:
+    per-task overhead with many tiny blocks (586×1k-row tasks: 21.8 s)
+    vs straggler waves with few fat ones (37×16k: 27.7 s); ~4 blocks
+    per CPU of ≥256 rows was the sweet spot (128×4.7k: 14.3 s)."""
+    from .util import cluster_cpus
+
+    cpus = max(1, cluster_cpus())
+    want = -(-n_rel // batch_size)
+    lo = min(2 * cpus, max(1, n_rel // 256))
+    hi = max(4 * cpus, -(-n_rel // 16384))
+    return max(1, min(max(want, lo), hi))
+
+
 def ingest_features(documents_ds, config: EngineConfig | None = None, all_el=None):
     """documents Dataset → features Dataset (lazy).
 
@@ -138,9 +154,8 @@ def ingest_features(documents_ds, config: EngineConfig | None = None, all_el=Non
                 # most relation_encode_batch_size rows — fine-grained
                 # in the safe direction.
                 if n_rel_hint:
-                    n_blocks = max(
-                        1,
-                        min(n_rel_hint, -(-n_rel_hint // cfg.relation_encode_batch_size)),
+                    n_blocks = _relation_blocks(
+                        n_rel_hint, cfg.relation_encode_batch_size
                     )
                     branches.append(
                         rels_ds.map_batches(
@@ -159,9 +174,7 @@ def ingest_features(documents_ds, config: EngineConfig | None = None, all_el=Non
                 ).materialize()
                 n_rel = prepared_r.count()
                 if n_rel:
-                    n_blocks = max(
-                        1, min(n_rel, -(-n_rel // cfg.relation_encode_batch_size))
-                    )
+                    n_blocks = _relation_blocks(n_rel, cfg.relation_encode_batch_size)
                     # right-size in BOTH directions: task == block in Ray
                     # Data, so hundreds of sub-batch-size relation blocks
                     # cost ~20ms of dispatch each (measured 6.3s → 1.2s for

@@ -45,7 +45,51 @@ LEAF_CAPACITY = 50_000  # src/lib.rs:526
 
 
 def global_bounds(features_ds) -> tuple[float, float, float, float]:
-    """f32 dataset bounds — src/lib.rs:413-425 fold."""
+    """f32 dataset bounds — src/lib.rs:413-425 fold.
+
+    On a MATERIALIZED dataset this is a flat task sweep over the
+    plasma block refs (zero-copy reads, one tiny task per block, no
+    Dataset-execution ramp — the same shape as the zone-map index
+    build); a lazy dataset falls back to the aggregate."""
+    import ray
+    from ray.data.dataset import MaterializedDataset
+
+    if isinstance(features_ds, MaterializedDataset):
+
+        @ray.remote(num_cpus=0.25)
+        def block_bounds(*tbls):
+            lo = (np.inf, np.inf)
+            hi = (-np.inf, -np.inf)
+            for tbl in tbls:
+                if len(tbl) == 0:
+                    continue
+                lo = (
+                    min(lo[0], float(tbl.column("minx").to_numpy(zero_copy_only=False).min())),
+                    min(lo[1], float(tbl.column("miny").to_numpy(zero_copy_only=False).min())),
+                )
+                hi = (
+                    max(hi[0], float(tbl.column("maxx").to_numpy(zero_copy_only=False).max())),
+                    max(hi[1], float(tbl.column("maxy").to_numpy(zero_copy_only=False).max())),
+                )
+            return (lo[0], lo[1], hi[0], hi[1])
+
+        refs = features_ds.to_arrow_refs()
+        # chunk refs so dispatch is O(64) tasks even over a fragmented
+        # block list (714 one-block tasks measured 6.8 s of pure
+        # submission latency)
+        step = max(1, -(-len(refs) // 64))
+        parts = ray.get(
+            [block_bounds.remote(*refs[i : i + step]) for i in range(0, len(refs), step)]
+        )
+        if parts:
+            arr = np.array(parts, dtype=np.float64)
+            return (
+                float(np.float32(arr[:, 0].min())),
+                float(np.float32(arr[:, 1].min())),
+                float(np.float32(arr[:, 2].max())),
+                float(np.float32(arr[:, 3].max())),
+            )
+
     from ray.data.aggregate import Max, Min
 
     row = features_ds.aggregate(
