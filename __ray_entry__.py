@@ -244,6 +244,14 @@ def q_token_count(sf_dir: str):
     )
 
 
+def q_token_pieces(sf_dir: str):
+    from ingest_ray.functions.text import token_pieces_batch
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        token_pieces_batch, batch_format="pandas"
+    )
+
+
 def q_quality(sf_dir: str):
     from ingest_ray.functions.text import quality_score_batch
 
@@ -887,6 +895,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize_events": q_sessionize_events,
         "dedup_exact": q_dedup_exact,
         "token_count": q_token_count,
+        "token_pieces_docs": q_token_pieces,
         "quality": q_quality,
         "ngram_jaccard": q_ngram_jaccard,
         "embedding_near_dup": q_embedding_near_dup,
@@ -1146,6 +1155,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    CASE WHEN trim(text) = '' THEN 0
                         ELSE len(string_split_regex(trim(text), '\\s+')) END::BIGINT AS n_tokens
+            FROM documents
+        """,
+        "token_pieces_docs": r"""
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|\S'))::BIGINT AS n_pieces
             FROM documents
         """,
         "quality": """

@@ -83,7 +83,8 @@ def lang_id_batch(df: pd.DataFrame) -> pd.DataFrame:
 
 def token_pieces_batch(df: pd.DataFrame) -> pd.DataFrame:
     """doc_id, n_pieces — BPE-ish regex token pieces (letters / digits /
-    single symbols). Rows-only oracle."""
+    single symbols). DuckDB-oracled via ``regexp_extract_all`` (see
+    ``oracle_sql()['token_pieces_docs']``)."""
     t = df["text"].fillna("")
     n = t.map(lambda s: len(_WORD.findall(s)))
     return pd.DataFrame({"doc_id": df["doc_id"], "n_pieces": n.astype("int64")})
