@@ -20,8 +20,8 @@ TAGS_TYPE = pa.list_(pa.struct([pa.field("key", pa.string()), pa.field("value", 
 NODES_SCHEMA = pa.schema(
     [
         pa.field("id", pa.int64()),
-        pa.field("lon", pa.float64()),
-        pa.field("lat", pa.float64()),
+        pa.field("lon", pa.float32()),
+        pa.field("lat", pa.float32()),
         pa.field("tags", TAGS_TYPE),
         pa.field("doc_id", pa.string()),
         pa.field("span_idx", pa.int32()),
@@ -136,8 +136,19 @@ def parse_kind_batch(batch: pa.Table, kind: str) -> pa.Table:
     ids = pc.cast(_field_after(_combine(pc.list_element(parts, 1)), "id="), pa.int64())
 
     if kind == "node":
-        lon = pc.cast(_field_after(_combine(pc.list_element(parts, 2)), "lon="), pa.float64())
-        lat = pc.cast(_field_after(_combine(pc.list_element(parts, 3)), "lat="), pa.float64())
+        # f64 parse then f32 narrowing: every consumer (encoders, joins,
+        # bbox folds) casts to f32 before arithmetic, so carrying f32 from
+        # the parse is bit-identical downstream while halving exchange
+        # bytes and node-index memory (reference stores f32 coords too,
+        # src/lib.rs:150,225,350)
+        lon = pc.cast(
+            pc.cast(_field_after(_combine(pc.list_element(parts, 2)), "lon="), pa.float64()),
+            pa.float32(),
+        )
+        lat = pc.cast(
+            pc.cast(_field_after(_combine(pc.list_element(parts, 3)), "lat="), pa.float64()),
+            pa.float32(),
+        )
         tags = _parse_tags_column(_field_after(_combine(pc.list_element(parts, 4)), "tags="))
         return pa.table(
             {
@@ -212,8 +223,8 @@ ELEMENTS_ALL_SCHEMA = pa.schema(
     [
         pa.field("id", pa.int64()),
         pa.field("ekind", pa.uint8()),  # 0 node / 1 way / 2 relation
-        pa.field("lon", pa.float64()),
-        pa.field("lat", pa.float64()),
+        pa.field("lon", pa.float32()),
+        pa.field("lat", pa.float32()),
         pa.field("refs", pa.list_(pa.int64())),
         pa.field("members", MEMBERS_TYPE),
         pa.field("tags", TAGS_TYPE),
@@ -233,8 +244,8 @@ def parse_all_batch(batch: pa.Table) -> pa.Table:
         if n == 0:
             continue
         nulls = {
-            "lon": pa.nulls(n, pa.float64()),
-            "lat": pa.nulls(n, pa.float64()),
+            "lon": pa.nulls(n, pa.float32()),
+            "lat": pa.nulls(n, pa.float32()),
             "refs": pa.nulls(n, pa.list_(pa.int64())),
             "members": pa.nulls(n, MEMBERS_TYPE),
         }

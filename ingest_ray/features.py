@@ -216,8 +216,8 @@ def encode_ways_batch(batch: pa.Table) -> pa.Table:
         refs = np.where(np.isnan(refs), np.int64(-(2**62)), refs).astype(np.int64)
     else:
         refs = refs.astype(np.int64, copy=False)
-    lon = np.asarray(lon_arr.to_numpy(zero_copy_only=False), dtype=np.float64)
-    lat = np.asarray(lat_arr.to_numpy(zero_copy_only=False), dtype=np.float64)
+    lon = np.asarray(lon_arr.to_numpy(zero_copy_only=False))
+    lat = np.asarray(lat_arr.to_numpy(zero_copy_only=False))
     resolved = ~np.isnan(lon)
     counts = np.diff(offs)
     row_of = np.repeat(np.arange(n), counts)
@@ -254,8 +254,8 @@ def encode_ways_batch(batch: pa.Table) -> pa.Table:
     if m == 0:
         return FEATURES_SCHEMA.empty_table()
 
-    lon32 = lon.astype(np.float32)
-    lat32 = lat.astype(np.float32)
+    lon32 = lon.astype(np.float32, copy=False)
+    lat32 = lat.astype(np.float32, copy=False)
     npts_k = npts_all[kept].astype(np.int64)
     pos_offs = np.zeros(m + 1, dtype=np.int64)
     np.cumsum(npts_k, out=pos_offs[1:])
@@ -483,11 +483,11 @@ def encode_relations_batch(batch: pa.Table) -> pa.Table:
     else:
         nid = nid_raw.astype(np.int64, copy=False)
         nid_valid = np.ones(len(nid), dtype=bool)
-    lon = np.asarray(lon_arr.to_numpy(zero_copy_only=False), dtype=np.float64)
-    lat = np.asarray(lat_arr.to_numpy(zero_copy_only=False), dtype=np.float64)
+    lon = np.asarray(lon_arr.to_numpy(zero_copy_only=False))
+    lat = np.asarray(lat_arr.to_numpy(zero_copy_only=False))
     lon_valid = ~np.isnan(lon)
-    lon32 = lon.astype(np.float32)
-    lat32 = lat.astype(np.float32)
+    lon32 = lon.astype(np.float32, copy=False)
+    lat32 = lat.astype(np.float32, copy=False)
     inner = np.asarray(inner_arr.to_numpy(zero_copy_only=False)).astype(bool)
     counts = np.diff(offs)
     row_of = np.repeat(np.arange(n), counts)

@@ -98,13 +98,13 @@ def build_node_index(nodes_ds) -> "ray.ObjectRef":
     t = (
         pa.concat_tables(tbls)
         if tbls
-        else pa.table({"id": pa.array([], pa.int64()), "lon": pa.array([], pa.float64()), "lat": pa.array([], pa.float64())})
+        else pa.table({"id": pa.array([], pa.int64()), "lon": pa.array([], pa.float32()), "lat": pa.array([], pa.float32())})
     )
     return ray.put(
         BroadcastIndex(
             np.asarray(_np(t.column("id")), dtype=np.int64),
-            np.asarray(_np(t.column("lon")), dtype=np.float64),
-            np.asarray(_np(t.column("lat")), dtype=np.float64),
+            np.asarray(_np(t.column("lon")), dtype=np.float32),
+            np.asarray(_np(t.column("lat")), dtype=np.float32),
         )
     )
 
@@ -180,8 +180,8 @@ class ShardedNodeIndex:
     def lookup(self, keys: np.ndarray) -> tuple[np.ndarray, list[np.ndarray]]:
         n = len(keys)
         found = np.zeros(n, dtype=bool)
-        lon = np.full(n, np.nan, dtype=np.float64)
-        lat = np.full(n, np.nan, dtype=np.float64)
+        lon = np.full(n, np.nan, dtype=np.float32)
+        lat = np.full(n, np.nan, dtype=np.float32)
         if not self.block_refs or n == 0:
             return found, [lon, lat]
         # primary-block fast path: blocks sorted by min, so the last
@@ -480,8 +480,8 @@ def _lookup_nodes(ds, nodes_ds, mode: str, num_partitions: int, broadcast_limit:
             found, (lon, lat) = idx.lookup(keys)
             lon = np.where(found, lon, np.nan)
             lat = np.where(found, lat, np.nan)
-            out = batch.append_column("lon", pa.array(lon, pa.float64()))
-            return out.append_column("lat", pa.array(lat, pa.float64()))
+            out = batch.append_column("lon", pa.array(lon, pa.float32()))
+            return out.append_column("lat", pa.array(lat, pa.float32()))
 
         return ds.map_batches(lookup, batch_format="pyarrow", zero_copy_batch=True)
     tune_shuffle_context()
@@ -518,8 +518,8 @@ def add_bucket(batch: pa.Table, key: str, num_buckets: int, out: str = "bucket")
 _LIST_TYPES = {
     "node_id": pa.int64(),
     "way_id": pa.int64(),
-    "lon": pa.float64(),
-    "lat": pa.float64(),
+    "lon": pa.float32(),
+    "lat": pa.float32(),
     "okey": pa.int64(),
     "inner": pa.bool_(),
 }
@@ -625,8 +625,8 @@ def resolve_ways_batch(batch: pa.Table, idx) -> pa.Table:
         {
             "way_id": batch.column("id"),
             "node_id_list": refs,
-            "lon_list": pa.ListArray.from_arrays(off_arr, pa.array(lon, pa.float64())),
-            "lat_list": pa.ListArray.from_arrays(off_arr, pa.array(lat, pa.float64())),
+            "lon_list": pa.ListArray.from_arrays(off_arr, pa.array(lon, pa.float32())),
+            "lat_list": pa.ListArray.from_arrays(off_arr, pa.array(lat, pa.float32())),
             "is_area": batch.column("is_area"),
             "ftype": batch.column("ftype"),
             "labels": batch.column("labels"),
@@ -998,8 +998,8 @@ def resolve_relations_batch(batch: pa.Table, widx, nidx) -> pa.Table:
             "node_id_list": pa.ListArray.from_arrays(
                 off_arr, pa.array(node_id, pa.int64(), mask=null_mask)
             ),
-            "lon_list": pa.ListArray.from_arrays(off_arr, pa.array(lon, pa.float64())),
-            "lat_list": pa.ListArray.from_arrays(off_arr, pa.array(lat, pa.float64())),
+            "lon_list": pa.ListArray.from_arrays(off_arr, pa.array(lon, pa.float32())),
+            "lat_list": pa.ListArray.from_arrays(off_arr, pa.array(lat, pa.float32())),
             "inner_list": pa.ListArray.from_arrays(off_arr, pa.array(inner_r, pa.bool_())),
             "ftype": batch.column("ftype"),
             "labels": batch.column("labels"),
@@ -1015,8 +1015,8 @@ _REL_RESOLVED_SCHEMA = pa.schema(
         pa.field("okey_list", pa.list_(pa.int64())),
         pa.field("way_id_list", pa.list_(pa.int64())),
         pa.field("node_id_list", pa.list_(pa.int64())),
-        pa.field("lon_list", pa.list_(pa.float64())),
-        pa.field("lat_list", pa.list_(pa.float64())),
+        pa.field("lon_list", pa.list_(pa.float32())),
+        pa.field("lat_list", pa.list_(pa.float32())),
         pa.field("inner_list", pa.list_(pa.bool_())),
         pa.field("ftype", pa.uint64()),
         pa.field("labels", pa.binary()),

@@ -74,8 +74,15 @@ def parse_geo_span(kind: str, text: str) -> dict:
         fields[k] = v
     out: dict = {"id": int(fields["id"]), "tags": _parse_tags(fields.get("tags", ""))}
     if kind == "node":
-        out["lon"] = float(fields["lon"])
-        out["lat"] = float(fields["lat"])
+        # f32 narrowing mirrors the engine's coordinate model: every
+        # consumer works in f32 (reference stores f32, src/lib.rs:150),
+        # so elements carry f32 from the parse on
+        import numpy as _np
+
+        # two-step f64 → f32 (not a direct string → f32 parse) so the
+        # rounding route matches the vectorized cast chain exactly
+        out["lon"] = float(_np.float32(float(fields["lon"])))
+        out["lat"] = float(_np.float32(float(fields["lat"])))
     elif kind == "way":
         refs = fields.get("refs", "")
         out["refs"] = [int(r) for r in refs.split(",")] if refs else []

@@ -72,7 +72,9 @@ def test_is_area_rules():
 def test_span_roundtrip():
     s = serialize_node(1312, 13.02, 37.0, [("amenity", "cafe"), ("name", "x y")])
     el = parse_geo_span("node", s)
-    assert el["id"] == 1312 and el["lon"] == 13.02 and ("name", "x y") in el["tags"]
+    # coords come back f32-narrowed (the engine's coordinate model)
+    assert el["id"] == 1312 and el["lon"] == float(np.float32(13.02))
+    assert ("name", "x y") in el["tags"]
     w = serialize_way(555, [1, 2, 3, 1], [("leisure", "park")])
     el = parse_geo_span("way", w)
     assert el["refs"] == [1, 2, 3, 1]
