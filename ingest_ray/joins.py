@@ -588,11 +588,19 @@ def explode_ways_with_meta(batch: pa.Table) -> pa.Table:
     first = pos == 0
     first_parent = np.repeat(np.arange(len(batch)), counts)
 
+    # null-masked take: rows with pos>0 get a NULL index, so the meta
+    # value ships once per way and the rest is null bitmap — no Python
+    # object materialization (the old to_pylist round-trip was the one
+    # per-row Python cost left in the shuffle exchange path)
+    take_idx = pa.array(
+        np.where(first, first_parent, 0).astype(np.int64), mask=~first
+    )
+
     def meta(col, typ):
-        vals = batch.column(col).take(pa.array(first_parent[first], pa.int64()))
-        out = np.full(len(pos), None, dtype=object)
-        out[first] = vals.to_pylist()
-        return pa.array(out, typ, from_pandas=True)
+        c = batch.column(col)
+        if isinstance(c, pa.ChunkedArray):
+            c = c.combine_chunks()
+        return c.take(take_idx).cast(typ)
 
     return pa.table(
         {
@@ -898,11 +906,17 @@ def explode_members_with_meta(batch: pa.Table) -> pa.Table:
     first = mpos == 0
     first_parent = np.repeat(np.arange(len(batch)), counts)
 
+    # null-masked take (see explode_ways_with_meta): meta ships once per
+    # relation, no Python object round-trip
+    take_idx = pa.array(
+        np.where(first, first_parent, 0).astype(np.int64), mask=~first
+    )
+
     def meta(col, typ):
-        vals = batch.column(col).take(pa.array(first_parent[first], pa.int64()))
-        out = np.full(len(mpos), None, dtype=object)
-        out[first] = vals.to_pylist()
-        return pa.array(out, typ, from_pandas=True)
+        c = batch.column(col)
+        if isinstance(c, pa.ChunkedArray):
+            c = c.combine_chunks()
+        return c.take(take_idx).cast(typ)
 
     roles = np.asarray(flat.field("role").to_numpy(zero_copy_only=False))
     return pa.table(
