@@ -195,7 +195,22 @@ def ingest_features(documents_ds, config: EngineConfig | None = None, all_el=Non
                 for b in branches
             ]
         if cfg.eager_branches:
-            branches = [b.materialize() for b in branches]
+            if len(branches) > 1:
+                # overlap the branch drains: the relation branch runs at
+                # ~40% cluster utilization (coarse blocks + ring-stitch
+                # skew), so running it CONCURRENTLY with the node/way
+                # branch absorbs it into that branch's scheduling slack
+                # (measured 9.1 s + 17.1 s sequential → ~19 s overlapped
+                # at 30M/32 CPUs). Safe here because the broadcast fused
+                # path contains no Dataset.join — concurrent joins would
+                # deadlock on aggregator actor pools (round-1 measured
+                # pitfall); the shuffle path below stays sequential.
+                from concurrent.futures import ThreadPoolExecutor
+
+                with ThreadPoolExecutor(len(branches)) as ex:
+                    branches = list(ex.map(lambda b: b.materialize(), branches))
+            else:
+                branches = [b.materialize() for b in branches]
         out = branches[0]
         for b in branches[1:]:
             out = out.union(b)
