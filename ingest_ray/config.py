@@ -18,9 +18,12 @@ class EngineConfig:
     # the zone-map sharded index (per-block min/max id over plasma
     # blocks, fetched lazily zero-copy — one physical copy per NODE)
     # takes over, measured 45% faster than the shuffle join at 30M
-    # nodes (~720MB). Beyond this limit (≈1.2GB/node of index) the
-    # distributed hash join ("shuffle") is the planet-scale path.
-    broadcast_limit: int = 50_000_000
+    # nodes. With f32 coords a shard row is 16B, so even this limit
+    # is only ~4GB of plasma per node — comfortable on 128GiB-class
+    # machines, and each node fetches only the shards its tasks
+    # probe. Beyond it the distributed hash join ("shuffle") is the
+    # planet-scale path.
+    broadcast_limit: int = 250_000_000
     # parse each element table once (nodes/ways feed multiple branches);
     # the materialized tables are far smaller than the document corpus
     materialize_elements: bool = True

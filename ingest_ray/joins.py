@@ -45,7 +45,7 @@ import ray
 
 from .util import effective_num_partitions, splitmix64, tune_shuffle_context
 
-DEFAULT_BROADCAST_LIMIT = 50_000_000  # see EngineConfig.broadcast_limit
+DEFAULT_BROADCAST_LIMIT = 250_000_000  # see EngineConfig.broadcast_limit
 
 
 def _np(col) -> np.ndarray:
