@@ -77,9 +77,9 @@ def flagship(sf_dir: str, out_dir: str, corpus: str | None = None, join_mode: st
     from ingest_ray.util import cluster_cpus
 
     docs = rd.read_parquet(corpus, override_num_blocks=max(4 * cluster_cpus(), 64))
-    # auto join mode picks the zone-map broadcast path below 50M nodes
-    # and the distributed hash join beyond; --scaling forces "shuffle"
-    # to measure the planet-scale path (see run_scaling).
+    # auto join mode picks the zone-map broadcast path below 250M build
+    # rows and the distributed hash join beyond; --scaling measures BOTH
+    # modes explicitly (see run_scaling).
     feats = ingest_features(
         docs,
         EngineConfig(join_mode=join_mode, num_partitions=32, post_map=add_cell_columns),
@@ -140,6 +140,27 @@ def run_worker(num_cpus: int, sf_dir: str, corpus: str | None = None, join_mode:
 # core, and 120M/32 CPUs is still conservative vs that regime)
 SCALING_ELEMENTS = int(os.environ.get("GRAFT_SCALING_ELEMENTS", "120000000"))
 SCALING_REPEATS = int(os.environ.get("GRAFT_SCALING_REPEATS", "1"))
+# max seconds to wait (per leg) for the host to pass the page-fault
+# probe before running the leg anyway; 0 disables the gate
+SCALING_QUIET_WAIT = int(os.environ.get("GRAFT_SCALING_QUIET_WAIT", "600"))
+
+
+def _fault_probe_s() -> float:
+    """First-touch page-fault probe (seconds to fault in 400MB).
+
+    This host intermittently enters memory-ballooning phases where any
+    fresh allocation stalls ~100x (multi-second first touches, load
+    average full of D-state tasks with ZERO cpu ticks). A leg started
+    in such a phase measures the hypervisor, not the engine — so legs
+    wait for a sub-0.6 s probe (bounded by SCALING_QUIET_WAIT) and the
+    observed probe value ships with each leg's results."""
+    import numpy as np
+
+    t = time.perf_counter()
+    a = np.empty(400_000_000, dtype=np.uint8)
+    a[::4096] = 1
+    del a
+    return time.perf_counter() - t
 
 
 def run_scaling(sf_dir: str) -> None:
@@ -168,6 +189,14 @@ def run_scaling(sf_dir: str) -> None:
     def leg(cpus: int, mode: str) -> dict:
         best = None
         for _ in range(max(1, SCALING_REPEATS)):
+            probe = _fault_probe_s()
+            deadline = time.monotonic() + SCALING_QUIET_WAIT
+            while probe >= 0.6 and time.monotonic() < deadline:
+                sys.stderr.write(
+                    f"[scaling] host unhealthy (first-touch {probe:.2f}s) — waiting\n"
+                )
+                time.sleep(60)
+                probe = _fault_probe_s()
             proc = subprocess.run(
                 [
                     sys.executable,
@@ -191,6 +220,7 @@ def run_scaling(sf_dir: str) -> None:
                 sys.stderr.write(proc.stdout[-2000:] + "\n" + proc.stderr[-4000:] + "\n")
                 raise RuntimeError(f"worker at {cpus} cpus ({mode}) failed")
             r = json.loads(line[-1][len("WORKER_RESULT "):])
+            r["fault_probe_s"] = round(probe, 3)
             if best is None or r["elapsed_s"] < best["elapsed_s"]:
                 best = r
         return best
@@ -211,6 +241,7 @@ def run_scaling(sf_dir: str) -> None:
                 "tiles": r["tiles"],
                 "load_1m_start": r.get("load_1m_start"),
                 "load_1m_end": r.get("load_1m_end"),
+                "fault_probe_s": r.get("fault_probe_s"),
             }
             for c, r in runs.items()
         }

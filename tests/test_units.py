@@ -162,3 +162,19 @@ def test_progress_tracker(ray_session):
     with prog.observe(interval_s=0.05, emit=lines.append):
         time.sleep(0.15)
     assert len(lines) >= 2
+
+
+def test_relation_blocks_sizing():
+    from ingest_ray.pipeline import _relation_blocks
+
+    # tiny input: one block, never zero
+    assert _relation_blocks(1, 1024) == 1
+    assert _relation_blocks(100, 1024) == 1
+    # the measured 600k/32-CPU regime must land between per-task
+    # overhead (586 tiny blocks) and straggler waves (37 fat ones);
+    # exact value depends on cluster_cpus() but stays in [2*cpus-ish,
+    # ceil(n/256)] and well under one-block-per-batch
+    nb = _relation_blocks(600_000, 1024)
+    assert 8 <= nb < 586
+    # blocks never exceed what batch_size-sized blocks would give
+    assert _relation_blocks(10_000, 1024) <= max(-(-10_000 // 1024), 64)
