@@ -244,6 +244,27 @@ def q_token_count(sf_dir: str):
     )
 
 
+def q_asof_events_orders(sf_dir: str):
+    """Each event ⋈ the user's latest order at-or-before the event
+    time (inner as-of). One hash exchange; per-bucket merge_asof.
+    DuckDB-oracled against a native ASOF JOIN with the same
+    deterministic tie-break."""
+    from ingest_ray.functions.temporal import asof_join
+
+    events = _read(sf_dir, "events", ["event_id", "ts", "user_id"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"])
+    return asof_join(
+        events,
+        orders,
+        key="user_id",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        right_key="o_custkey",
+        right_cols=("o_orderkey", "o_totalprice"),
+        tie_col="o_orderkey",
+    )
+
+
 def q_token_pieces(sf_dir: str):
     from ingest_ray.functions.text import token_pieces_batch
 
@@ -896,6 +917,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": q_dedup_exact,
         "token_count": q_token_count,
         "token_pieces_docs": q_token_pieces,
+        "asof_events_orders": q_asof_events_orders,
         "quality": q_quality,
         "ngram_jaccard": q_ngram_jaccard,
         "embedding_near_dup": q_embedding_near_dup,
@@ -1156,6 +1178,19 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN trim(text) = '' THEN 0
                         ELSE len(string_split_regex(trim(text), '\\s+')) END::BIGINT AS n_tokens
             FROM documents
+        """,
+        "asof_events_orders": """
+            WITH o AS (
+              SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice
+              FROM orders
+              QUALIFY row_number() OVER (
+                PARTITION BY o_custkey, o_orderdate ORDER BY o_orderkey DESC
+              ) = 1
+            )
+            SELECT e.event_id, e.ts, e.user_id,
+                   o.o_orderdate, o.o_orderkey, o.o_totalprice
+            FROM events e
+            ASOF JOIN o ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
         """,
         "token_pieces_docs": r"""
             SELECT doc_id,

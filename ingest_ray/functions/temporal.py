@@ -1,0 +1,114 @@
+"""Temporal joins — the as-of join the reference family of pipelines
+lacks natively (an example of SURVEY.md §2.10's beyond-reference ops).
+
+Scale design: ONE hash exchange. Both sides bucket by
+``splitmix64(key) % num_buckets``; each bucket reassembles its two
+sides and runs pandas' C-implemented ``merge_asof`` (backward search:
+for every left row, the greatest right timestamp ≤ the left
+timestamp, per key). Nothing is broadcast or driver-materialized, so
+the operator scales with the exchange like any hash join; a pathological
+hot key concentrates in one bucket exactly as it would in any
+hash-partitioned join (salt upstream if a single key exceeds a worker).
+
+Determinism: multiple right rows can share (key, timestamp) — an
+as-of match is then ambiguous and engines disagree on the winner. The
+right side is therefore deduplicated to the row with the MAX
+``tie_col`` per (key, timestamp) before matching; the DuckDB oracle
+applies the same rule, making the operator value-exact against
+``ASOF JOIN`` semantics.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..util import splitmix64
+
+
+def asof_join(
+    left_ds,
+    right_ds,
+    *,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    right_key: str | None = None,
+    right_cols: tuple[str, ...] = (),
+    tie_col: str | None = None,
+    num_buckets: int = 64,
+):
+    """left rows ⋈ latest right row with right_ts ≤ left_ts, per key.
+
+    Inner semantics (left rows with no candidate are dropped) — the
+    DuckDB ``ASOF JOIN`` default. Returns a Dataset with the left
+    columns plus ``right_ts`` and ``right_cols``.
+    """
+    rkey = right_key or key
+    tie = tie_col or (right_cols[0] if right_cols else right_ts)
+
+    left_schema = left_ds.schema()  # ray Schema: .names + arrow .types
+    left_cols = list(left_schema.names)
+    left_types = dict(zip(left_schema.names, left_schema.types))
+    rcols = [right_ts, *right_cols]
+
+    def tag_left(batch: pa.Table) -> pa.Table:
+        k = batch.column(key).to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = (splitmix64(k) % np.uint64(num_buckets)).astype(np.int32)
+        out = batch.append_column("bucket", pa.array(b, pa.int32()))
+        out = out.append_column("side", pa.array(np.zeros(len(batch), np.int8), pa.int8()))
+        for c in rcols:  # right-side columns ride as nulls
+            out = out.append_column(c, pa.nulls(len(batch), _right_types[c]))
+        return out
+
+    right_schema = right_ds.schema()
+    _rtypes_all = dict(zip(right_schema.names, right_schema.types))
+    _right_types = {c: _rtypes_all[c] for c in rcols}
+
+    def tag_right(batch: pa.Table) -> pa.Table:
+        k = batch.column(rkey).to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = (splitmix64(k) % np.uint64(num_buckets)).astype(np.int32)
+        cols = {}
+        for c in left_cols:
+            if c == key:
+                cols[c] = batch.column(rkey).cast(left_types[key])
+            else:
+                cols[c] = pa.nulls(len(batch), left_types[c])
+        out = pa.table(cols)
+        out = out.append_column("bucket", pa.array(b, pa.int32()))
+        out = out.append_column("side", pa.array(np.ones(len(batch), np.int8), pa.int8()))
+        for c in rcols:
+            out = out.append_column(c, batch.column(c))
+        return out
+
+    tagged = left_ds.map_batches(tag_left, batch_format="pyarrow", zero_copy_batch=True).union(
+        right_ds.map_batches(tag_right, batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+    out_cols = [*left_cols, *rcols]
+
+    def match(df: pd.DataFrame) -> pd.DataFrame:
+        left = df[df["side"] == 0]
+        right = df[df["side"] == 1]
+        if len(left) == 0 or len(right) == 0:
+            return df.iloc[0:0][out_cols]
+        right = right[[key, *rcols]].sort_values([key, right_ts, tie], kind="stable")
+        # deterministic tie-break: keep the max-tie_col row per
+        # (key, right_ts) — mirrored in the SQL oracle
+        right = right.drop_duplicates([key, right_ts], keep="last")
+        rdtypes = right.dtypes
+        merged = pd.merge_asof(
+            left[left_cols].sort_values(left_ts, kind="stable"),
+            right.sort_values(right_ts, kind="stable"),
+            left_on=left_ts,
+            right_on=right_ts,
+            by=key,
+            direction="backward",
+        )
+        out = merged.dropna(subset=[right_ts])[out_cols]
+        for c in rcols:  # un-promote: NaNs from unmatched rows are gone
+            out[c] = out[c].astype(rdtypes[c])
+        return out
+
+    return tagged.groupby("bucket").map_groups(match, batch_format="pandas")

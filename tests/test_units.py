@@ -178,3 +178,56 @@ def test_relation_blocks_sizing():
     assert 8 <= nb < 586
     # blocks never exceed what batch_size-sized blocks would give
     assert _relation_blocks(10_000, 1024) <= max(-(-10_000 // 1024), 64)
+
+
+def test_asof_join_matches_bruteforce(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from ingest_ray.functions.temporal import asof_join
+
+    rng = np.random.default_rng(7)
+    n_l, n_r = 400, 300
+    left = pd.DataFrame(
+        {
+            "eid": np.arange(n_l, dtype=np.int64),
+            "k": rng.integers(0, 20, n_l).astype(np.int64),
+            "t": rng.integers(0, 1000, n_l).astype(np.int64),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "rk": rng.integers(0, 25, n_r).astype(np.int64),
+            "rt": rng.integers(0, 1000, n_r).astype(np.int64),
+            "val": rng.integers(0, 10_000, n_r).astype(np.int64),
+        }
+    )
+    got = (
+        asof_join(
+            rd.from_pandas(left).repartition(5),
+            rd.from_pandas(right).repartition(4),
+            key="k",
+            left_ts="t",
+            right_ts="rt",
+            right_key="rk",
+            right_cols=("val",),
+            tie_col="val",
+            num_buckets=8,
+        )
+        .to_pandas()
+        .sort_values("eid")
+        .reset_index(drop=True)
+    )
+    # brute force: per left row, the max-rt right row with rt <= t and
+    # same key; ties on rt broken by max val (the operator's rule)
+    rows = []
+    for e, k, t in left.itertuples(index=False):
+        cand = right[(right["rk"] == k) & (right["rt"] <= t)]
+        if len(cand):
+            best = cand.sort_values(["rt", "val"]).iloc[-1]
+            rows.append((e, k, t, int(best["rt"]), int(best["val"])))
+    want = pd.DataFrame(rows, columns=["eid", "k", "t", "rt", "val"])
+    assert len(got) == len(want)
+    pd.testing.assert_frame_equal(
+        got[["eid", "k", "t", "rt", "val"]].astype("int64"), want.astype("int64")
+    )
