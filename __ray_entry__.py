@@ -265,6 +265,29 @@ def q_asof_events_orders(sf_dir: str):
     )
 
 
+def q_range_orders_lineitem(sf_dir: str):
+    """Interval join: every (order, lineitem) pair of the same order
+    key whose lineitem shipped within 60 days of the order date. One
+    hash exchange, per-bucket vectorized window search
+    (see temporal.range_join)."""
+    from ingest_ray.functions.temporal import range_join
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate", "o_totalprice"])
+    items = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate", "l_linenumber", "l_extendedprice"])
+    days60_us = 60 * 86_400 * 1_000_000
+    return range_join(
+        orders,
+        items,
+        key="o_orderkey",
+        left_ts="o_orderdate",
+        right_ts="l_shipdate",
+        lo_offset=0,
+        hi_offset=days60_us,
+        right_key="l_orderkey",
+        right_cols=("l_linenumber", "l_extendedprice"),
+    )
+
+
 def q_token_pieces(sf_dir: str):
     from ingest_ray.functions.text import token_pieces_batch
 
@@ -918,6 +941,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_count": q_token_count,
         "token_pieces_docs": q_token_pieces,
         "asof_events_orders": q_asof_events_orders,
+        "range_orders_lineitem": q_range_orders_lineitem,
         "quality": q_quality,
         "ngram_jaccard": q_ngram_jaccard,
         "embedding_near_dup": q_embedding_near_dup,
@@ -1191,6 +1215,15 @@ def oracle_sql() -> dict[str, str]:
                    o.o_orderdate, o.o_orderkey, o.o_totalprice
             FROM events e
             ASOF JOIN o ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+        """,
+        "range_orders_lineitem": """
+            SELECT o.o_orderkey, o.o_orderdate, o.o_totalprice,
+                   l.l_shipdate, l.l_linenumber, l.l_extendedprice
+            FROM orders o
+            JOIN lineitem l
+              ON o.o_orderkey = l.l_orderkey
+             AND l.l_shipdate BETWEEN o.o_orderdate
+                                  AND o.o_orderdate + INTERVAL 60 DAY
         """,
         "token_pieces_docs": r"""
             SELECT doc_id,

@@ -27,6 +27,17 @@ import pyarrow as pa
 from ..util import splitmix64
 
 
+def _restore_int_dtypes(df: pd.DataFrame, arrow_types: dict) -> pd.DataFrame:
+    """Undo the float64 promotion the union's null-padding causes:
+    a side's integer column is null on the OTHER side's rows, so the
+    whole pandas block arrives float — cast back once the join output
+    contains only genuine values."""
+    for c, t in arrow_types.items():
+        if c in df.columns and pa.types.is_integer(t) and df[c].dtype.kind == "f":
+            df[c] = df[c].astype("int64")
+    return df
+
+
 def asof_join(
     left_ds,
     right_ds,
@@ -109,6 +120,116 @@ def asof_join(
         out = merged.dropna(subset=[right_ts])[out_cols]
         for c in rcols:  # un-promote: NaNs from unmatched rows are gone
             out[c] = out[c].astype(rdtypes[c])
+        return _restore_int_dtypes(out, {**dict(zip(left_schema.names, left_schema.types)), **_right_types})
+
+    return tagged.groupby("bucket").map_groups(match, batch_format="pandas")
+
+
+def range_join(
+    left_ds,
+    right_ds,
+    *,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    lo_offset: int,
+    hi_offset: int,
+    right_key: str | None = None,
+    right_cols: tuple[str, ...] = (),
+    num_buckets: int = 64,
+):
+    """left ⋈ every right row of the same key with
+    ``left_ts + lo_offset <= right_ts <= left_ts + hi_offset``
+    (offsets in the timestamp's integer unit, e.g. microseconds).
+
+    Same single-exchange plan as :func:`asof_join`. Inside a bucket the
+    candidate window is found with two vectorized ``searchsorted``
+    calls over an exact integer composite ``kcode * (rt_range+1) +
+    (rt - rt_min)`` (sorted by construction), then expanded linearly in
+    the OUTPUT size — no per-key Python loop, no quadratic scan.
+    Partitioning assumption: windowed output per bucket fits a worker
+    (bound ``hi_offset - lo_offset`` accordingly at planet scale).
+    """
+    rkey = right_key or key
+
+    left_schema = left_ds.schema()
+    left_cols = list(left_schema.names)
+    left_types = dict(zip(left_schema.names, left_schema.types))
+    rcols = [right_ts, *right_cols]
+    right_schema = right_ds.schema()
+    _rtypes_all = dict(zip(right_schema.names, right_schema.types))
+    _right_types = {c: _rtypes_all[c] for c in rcols}
+
+    def tag_left(batch: pa.Table) -> pa.Table:
+        k = batch.column(key).to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = (splitmix64(k) % np.uint64(num_buckets)).astype(np.int32)
+        out = batch.append_column("bucket", pa.array(b, pa.int32()))
+        out = out.append_column("side", pa.array(np.zeros(len(batch), np.int8), pa.int8()))
+        for c in rcols:
+            out = out.append_column(c, pa.nulls(len(batch), _right_types[c]))
         return out
+
+    def tag_right(batch: pa.Table) -> pa.Table:
+        k = batch.column(rkey).to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = (splitmix64(k) % np.uint64(num_buckets)).astype(np.int32)
+        cols = {}
+        for c in left_cols:
+            if c == key:
+                cols[c] = batch.column(rkey).cast(left_types[key])
+            else:
+                cols[c] = pa.nulls(len(batch), left_types[c])
+        out = pa.table(cols)
+        out = out.append_column("bucket", pa.array(b, pa.int32()))
+        out = out.append_column("side", pa.array(np.ones(len(batch), np.int8), pa.int8()))
+        for c in rcols:
+            out = out.append_column(c, batch.column(c))
+        return out
+
+    tagged = left_ds.map_batches(tag_left, batch_format="pyarrow", zero_copy_batch=True).union(
+        right_ds.map_batches(tag_right, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    out_cols = [*left_cols, *rcols]
+
+    def match(df: pd.DataFrame) -> pd.DataFrame:
+        left = df[df["side"] == 0]
+        right = df[df["side"] == 1]
+        if len(left) == 0 or len(right) == 0:
+            return df.iloc[0:0][out_cols]
+        lk, l_inv = np.unique(left[key].to_numpy(np.int64), return_inverse=True)
+        rk_raw = right[key].to_numpy(np.int64)
+        # kcode: position of each right key in the LEFT key vocabulary
+        # (right keys absent from the left can never match — drop)
+        pos = np.searchsorted(lk, rk_raw)
+        pos_c = np.clip(pos, 0, len(lk) - 1)
+        keep = (pos < len(lk)) & (lk[pos_c] == rk_raw)
+        right = right.iloc[np.flatnonzero(keep)]
+        if len(right) == 0:
+            return df.iloc[0:0][out_cols]
+        kcode = pos_c[keep].astype(np.int64)
+        rt = right[right_ts].to_numpy("datetime64[us]").astype(np.int64)
+        lt = left[left_ts].to_numpy("datetime64[us]").astype(np.int64)
+        rt_min = int(rt.min())
+        span = int(rt.max()) - rt_min + 2  # +2: room for side='right' bound
+        assert len(lk) < (2**62) // span, "composite overflow — raise num_buckets"
+        comp = kcode * span + (rt - rt_min)
+        order = np.argsort(comp, kind="stable")
+        comp = comp[order]
+        right = right.iloc[order]
+        lo = l_inv * span + np.clip(lt + lo_offset - rt_min, 0, span - 1)
+        hi = l_inv * span + np.clip(lt + hi_offset - rt_min + 1, 0, span - 1)
+        lo_i = np.searchsorted(comp, lo, side="left")
+        hi_i = np.searchsorted(comp, hi, side="left")
+        counts = hi_i - lo_i
+        tot = int(counts.sum())
+        if tot == 0:
+            return df.iloc[0:0][out_cols]
+        lrep = np.repeat(np.arange(len(left)), counts)
+        first = np.cumsum(counts) - counts
+        ridx = np.arange(tot) - np.repeat(first, counts) + np.repeat(lo_i, counts)
+        out = left.iloc[lrep][left_cols].reset_index(drop=True)
+        rsel = right.iloc[ridx].reset_index(drop=True)
+        for c in rcols:
+            out[c] = rsel[c]
+        return _restore_int_dtypes(out, {**left_types, **_right_types})
 
     return tagged.groupby("bucket").map_groups(match, batch_format="pandas")

@@ -231,3 +231,56 @@ def test_asof_join_matches_bruteforce(ray_session):
     pd.testing.assert_frame_equal(
         got[["eid", "k", "t", "rt", "val"]].astype("int64"), want.astype("int64")
     )
+
+
+def test_range_join_matches_bruteforce(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from ingest_ray.functions.temporal import range_join
+
+    rng = np.random.default_rng(11)
+    n_l, n_r = 300, 400
+    left = pd.DataFrame(
+        {
+            "lid": np.arange(n_l, dtype=np.int64),
+            "k": rng.integers(0, 15, n_l).astype(np.int64),
+            "t": pd.to_datetime(rng.integers(0, 10_000, n_l), unit="s"),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "rk": rng.integers(0, 18, n_r).astype(np.int64),
+            "rt": pd.to_datetime(rng.integers(0, 10_000, n_r), unit="s"),
+            "val": np.arange(n_r, dtype=np.int64),
+        }
+    )
+    lo, hi = -500 * 1_000_000, 250 * 1_000_000  # ±window in microseconds
+    got = (
+        range_join(
+            rd.from_pandas(left).repartition(5),
+            rd.from_pandas(right).repartition(4),
+            key="k",
+            left_ts="t",
+            right_ts="rt",
+            lo_offset=lo,
+            hi_offset=hi,
+            right_key="rk",
+            right_cols=("val",),
+            num_buckets=8,
+        )
+        .to_pandas()
+        .sort_values(["lid", "val"])
+        .reset_index(drop=True)
+    )
+    merged = left.merge(right, left_on="k", right_on="rk")
+    m = (merged["rt"] >= merged["t"] + pd.Timedelta(microseconds=lo)) & (
+        merged["rt"] <= merged["t"] + pd.Timedelta(microseconds=hi)
+    )
+    want = (
+        merged[m][["lid", "k", "t", "rt", "val"]]
+        .sort_values(["lid", "val"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want)
+    pd.testing.assert_frame_equal(got[["lid", "k", "t", "rt", "val"]], want)
