@@ -288,6 +288,29 @@ def q_range_orders_lineitem(sf_dir: str):
     )
 
 
+def q_sliding_window_events(sf_dir: str):
+    """Per event: count + sum(value) over the same user's trailing
+    hour (RANGE semantics — ties share the full aggregate). One hash
+    exchange; per-bucket prefix sums + one searchsorted."""
+    from ingest_ray.functions.temporal import sliding_window_agg
+
+    events = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+    return sliding_window_agg(
+        events, key="user_id", ts="ts", value="value", window=3_600 * 1_000_000
+    )
+
+
+def q_topk_orders_per_cust(sf_dir: str):
+    """Top-3 orders per customer by total price (grouped top-k with a
+    combiner pre-prune; deterministic orderkey tie-break)."""
+    from ingest_ray.functions.grouped import grouped_topk
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+    return grouped_topk(
+        orders, key="o_custkey", val="o_totalprice", k=3, tie_col="o_orderkey"
+    )
+
+
 def q_token_pieces(sf_dir: str):
     from ingest_ray.functions.text import token_pieces_batch
 
@@ -942,6 +965,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_pieces_docs": q_token_pieces,
         "asof_events_orders": q_asof_events_orders,
         "range_orders_lineitem": q_range_orders_lineitem,
+        "sliding_window_events": q_sliding_window_events,
+        "topk_orders_per_cust": q_topk_orders_per_cust,
         "quality": q_quality,
         "ngram_jaccard": q_ngram_jaccard,
         "embedding_near_dup": q_embedding_near_dup,
@@ -1224,6 +1249,25 @@ def oracle_sql() -> dict[str, str]:
               ON o.o_orderkey = l.l_orderkey
              AND l.l_shipdate BETWEEN o.o_orderdate
                                   AND o.o_orderdate + INTERVAL 60 DAY
+        """,
+        "sliding_window_events": """
+            SELECT event_id, ts, user_id, value,
+                   count(*) OVER w AS w_count,
+                   sum(value) OVER w AS w_sum
+            FROM events
+            WINDOW w AS (
+              PARTITION BY user_id ORDER BY ts
+              RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
+            )
+        """,
+        "topk_orders_per_cust": """
+            SELECT o_orderkey, o_custkey, o_totalprice,
+                   row_number() OVER (
+                     PARTITION BY o_custkey
+                     ORDER BY o_totalprice DESC, o_orderkey DESC
+                   ) AS rank
+            FROM orders
+            QUALIFY rank <= 3
         """,
         "token_pieces_docs": r"""
             SELECT doc_id,

@@ -233,3 +233,78 @@ def range_join(
         return _restore_int_dtypes(out, {**left_types, **_right_types})
 
     return tagged.groupby("bucket").map_groups(match, batch_format="pandas")
+
+
+def sliding_window_agg(
+    ds,
+    *,
+    key: str,
+    ts: str,
+    value: str,
+    window: int,
+    num_buckets: int = 64,
+):
+    """Per row: count and sum of ``value`` over the SAME key's trailing
+    ``window`` (timestamp units, e.g. microseconds), inclusive of the
+    row itself — the sliding-window twin of the tumbling aggregate.
+
+    One hash exchange (bucket by key), then per bucket: sort once by
+    the exact integer composite (kcode * span + rebased ts) and answer
+    every row with one vectorized ``searchsorted`` (window start) plus
+    prefix-sum differences — O(rows log rows) per bucket, no per-key
+    loop. SQL-oracle twin: ``SUM/COUNT OVER (PARTITION BY key ORDER BY
+    ts RANGE BETWEEN <window> PRECEDING AND CURRENT ROW)``.
+
+    Ties: rows sharing (key, ts) all receive the FULL tie group's
+    aggregate (RANGE semantics, matching SQL; ROWS semantics would be
+    order-dependent and nondeterministic under parallel input order).
+    """
+
+    def tag(batch: pa.Table) -> pa.Table:
+        k = batch.column(key).to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = (splitmix64(k) % np.uint64(num_buckets)).astype(np.int32)
+        return batch.append_column("bucket", pa.array(b, pa.int32()))
+
+    cols = [c for c in ds.schema().names]
+
+    def agg(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            out = df[cols].copy()
+            out["w_count"] = pd.Series([], dtype="int64")
+            out["w_sum"] = pd.Series([], dtype="float64")
+            return out
+        k_raw = df[key].to_numpy(np.int64)
+        kc, kcode = np.unique(k_raw, return_inverse=True)
+        t = df[ts].to_numpy("datetime64[us]").astype(np.int64)
+        v = df[value].to_numpy(np.float64)
+        t_min = int(t.min())
+        span = int(t.max()) - t_min + 2
+        assert len(kc) < (2**62) // span, "composite overflow — raise num_buckets"
+        comp = kcode.astype(np.int64) * span + (t - t_min)
+        order = np.argsort(comp, kind="stable")
+        comp_s = comp[order]
+        v_s = v[order]
+        prefix = np.zeros(len(v_s) + 1, dtype=np.float64)
+        np.cumsum(v_s, out=prefix[1:])
+        lo = np.searchsorted(comp_s, comp_s - window, side="left")
+        # RANGE ... CURRENT ROW includes every row tied at this ts
+        hi = np.searchsorted(comp_s, comp_s, side="right")
+        # window must not cross the key boundary: comp-window could
+        # reach into the previous key's range only if window >= the
+        # inter-key gap in composite space — impossible: gap >= span >
+        # any in-key time delta >= window is NOT guaranteed for huge
+        # windows, so clamp lo to the key segment start
+        seg_start = np.searchsorted(comp_s, (comp_s // span) * span, side="left")
+        lo = np.maximum(lo, seg_start)
+        w_count = (hi - lo).astype(np.int64)
+        w_sum = prefix[hi] - prefix[lo]
+        out = df.iloc[order][cols].reset_index(drop=True)
+        out["w_count"] = w_count
+        out["w_sum"] = w_sum
+        return out
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(agg, batch_format="pandas")
+    )
