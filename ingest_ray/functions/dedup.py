@@ -336,6 +336,7 @@ def minhash_dedup_assign(
     bands: int = 16,
     shingle_n: int = 3,
     num_partitions: int = 32,
+    lp_edge_threshold: int | None = 4_000_000,
 ):
     """documents → (doc_id, keep_id): near-dup CLUSTER assignment.
 
@@ -352,9 +353,12 @@ def minhash_dedup_assign(
     3. the verified rep-pair edge list — bounded by the near-dup rate
        over *distinct* texts, orders of magnitude below corpus size —
        is union-found on the driver; ``keep_id`` = cluster minimum,
-       composed with the exact-dup mapping. (Driver edge collect is the
-       stated scale assumption; a multi-round distributed
-       label-propagation replaces it if near-dup rates are extreme.)
+       composed with the exact-dup mapping. When the edge list exceeds
+       ``lp_edge_threshold`` (the driver-collect assumption breaking),
+       assignment switches to the fully distributed
+       :func:`label_propagation_components` instead — no driver edge
+       materialization at any near-dup rate (``None`` disables the
+       check and always union-finds).
     """
     from ray.data.aggregate import Min
 
@@ -393,6 +397,32 @@ def minhash_dedup_assign(
     verified = verify_jaccard_pairs_distributed(
         cands, rep_docs, threshold=threshold, shingle_n=shingle_n
     )
+    if lp_edge_threshold is not None:
+        verified = verified.materialize()
+        if verified.count() > lp_edge_threshold:
+            # extreme near-dup rate: the edge list no longer fits the
+            # driver — distributed label propagation replaces union-find
+            labels = label_propagation_components(verified)
+            joined = membership.select_columns(["doc_id", "rep"]).join(
+                labels,
+                join_type="left_outer",
+                num_partitions=effective_num_partitions(num_partitions),
+                on=("rep",),
+                right_on=("node",),
+            )
+
+            def pick(t: pa.Table) -> pa.Table:
+                rep = t.column("rep").to_numpy(zero_copy_only=False)
+                lab = t.column("label").to_numpy(zero_copy_only=False)
+                keep = np.where(np.isnan(lab.astype(np.float64)), rep, lab).astype(np.int64)
+                return pa.table(
+                    {
+                        "doc_id": t.column("doc_id").cast(pa.int64()),
+                        "keep_id": pa.array(keep, pa.int64()),
+                    }
+                )
+
+            return joined.map_batches(pick, batch_format="pyarrow", zero_copy_batch=True)
     edges = [
         (int(a), int(b))
         for df in verified.select_columns(["a", "b"]).iter_batches(
@@ -975,3 +1005,110 @@ def embedding_near_pairs_lsh(
     pairs = exploded.groupby("bucket").map_groups(per_bucket, batch_format="pyarrow")
     # multi-band duplicates collapse in one distinct aggregate
     return pairs.groupby(["a", "b"]).count().select_columns(["a", "b"])
+
+
+# --------------------------------------------------------------------------
+# distributed connected components (label propagation)
+# --------------------------------------------------------------------------
+
+
+def label_propagation_components(edges_ds, max_iters: int = 20, num_partitions: int = 32):
+    """edges (a, b) → (node, label=component minimum), fully distributed.
+
+    The scale path for cluster assignment when the verified near-dup
+    edge list is too large to union-find on the driver (the stated
+    assumption of :func:`minhash_dedup_assign`): iterative min-label
+    propagation. Each round: every node takes the minimum label among
+    itself and its neighbors — two Dataset shuffles (join labels onto
+    edge endpoints, then a min-groupby per node). Converges in
+    O(component diameter) rounds; near-dup clusters are dense
+    (diameter ≤ a few hops), so max_iters=20 is generous. The loop
+    stops early when a round changes nothing (count of label changes
+    is itself a distributed aggregate — no driver materialization of
+    the label table).
+    """
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Min, Sum
+
+    from ..util import effective_num_partitions, tune_shuffle_context
+
+    tune_shuffle_context()
+    nparts = effective_num_partitions(num_partitions)
+
+    def undirect(batch: pa.Table) -> pa.Table:
+        a = batch.column("a").to_numpy(zero_copy_only=False).astype(np.int64)
+        b = batch.column("b").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate([a, b]), pa.int64()),
+                "dst": pa.array(np.concatenate([b, a]), pa.int64()),
+            }
+        )
+
+    edges = edges_ds.map_batches(
+        undirect, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+    # label(node) = min(node, min neighbor) — round 0 fused into the init
+    labels = (
+        edges.groupby("src")
+        .aggregate(Min("dst", alias_name="label"))
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "node": t.column("src"),
+                    "label": pa.array(
+                        np.minimum(
+                            t.column("src").to_numpy(zero_copy_only=False),
+                            t.column("label").to_numpy(zero_copy_only=False),
+                        ),
+                        pa.int64(),
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .materialize()
+    )
+    for _ in range(max_iters):
+        # propose: each edge carries its src's current label to dst
+        proposals = edges.join(
+            labels,
+            join_type="inner",
+            num_partitions=nparts,
+            on=("src",),
+            right_on=("node",),
+        ).select_columns(["dst", "label"])
+        new_labels = (
+            proposals.groupby("dst")
+            .aggregate(Min("label", alias_name="nl"))
+            .rename_columns({"dst": "node"})
+        )
+        # join old to detect convergence AND keep min(old, proposed)
+        merged = labels.join(
+            new_labels,
+            join_type="inner",  # every node appears in edges both ways
+            num_partitions=nparts,
+            on=("node",),
+        )
+
+        def fold(t: pa.Table) -> pa.Table:
+            old = t.column("label").to_numpy(zero_copy_only=False)
+            nl = t.column("nl").to_numpy(zero_copy_only=False)
+            lab = np.minimum(old, nl)
+            return pa.table(
+                {
+                    "node": t.column("node"),
+                    "label": pa.array(lab, pa.int64()),
+                    "changed": pa.array((lab != old).astype(np.int64), pa.int64()),
+                }
+            )
+
+        folded = merged.map_batches(
+            fold, batch_format="pyarrow", zero_copy_batch=True
+        ).materialize()
+        changed = folded.aggregate(Sum("changed", alias_name="n"))["n"]
+        labels = folded.select_columns(["node", "label"]).materialize()
+        if not changed:
+            break
+    return labels

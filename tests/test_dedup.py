@@ -218,3 +218,64 @@ def test_embedding_lsh_pairs_subset_and_recall(ray_session):
     assert len(exact) > 0
     recall = len(got) / len(exact)
     assert recall >= 0.8, f"recall {recall:.3f} over {len(exact)} true pairs"
+
+
+def test_label_propagation_equals_union_find(ray_session, corpus):
+    """Forcing the distributed label-propagation path (threshold 0)
+    must produce the same cluster assignment as the driver union-find."""
+    import pandas as pd
+    import ray.data as rd
+
+    from ingest_ray.functions.dedup import minhash_dedup_assign
+
+    docs = rd.from_arrow(corpus)
+    uf = (
+        minhash_dedup_assign(docs, threshold=0.5, lp_edge_threshold=None)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    lp = (
+        minhash_dedup_assign(docs, threshold=0.5, lp_edge_threshold=0)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(uf, lp)
+
+
+def test_label_propagation_components_random_graph(ray_session):
+    """LP labels equal brute-force connected components on random graphs."""
+    import ray.data as rd
+
+    from ingest_ray.functions.dedup import label_propagation_components
+
+    rng = np.random.default_rng(5)
+    n_nodes, n_edges = 200, 150
+    a = rng.integers(0, n_nodes, n_edges).astype(np.int64)
+    b = rng.integers(0, n_nodes, n_edges).astype(np.int64)
+    keep = a != b
+    a, b = a[keep], b[keep]
+    edges = rd.from_arrow(pa.table({"a": pa.array(a), "b": pa.array(b)})).repartition(4)
+    got = label_propagation_components(edges).to_pandas()
+    # brute force union-find
+    parent = list(range(n_nodes))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for x, y in zip(a, b):
+        rx, ry = find(int(x)), find(int(y))
+        if rx != ry:
+            parent[max(rx, ry)] = min(rx, ry)
+    comp_min = {}
+    touched = set(a.tolist()) | set(b.tolist())
+    for v in touched:
+        r = find(v)
+        comp_min[r] = min(comp_min.get(r, v), v)
+    want = {v: comp_min[find(v)] for v in touched}
+    gm = dict(zip(got["node"], got["label"]))
+    assert gm == want
