@@ -319,6 +319,10 @@ def suite(sf_dir: str) -> dict[str, float]:
         "pip_geo_part",
         "knn_geo_part",
         "ivf_ann",
+        "asof_events_orders",
+        "range_orders_lineitem",
+        "sliding_window_events",
+        "topk_orders_per_cust",
     ):
         q = E.queries()[name]
         timed(name, lambda q=q: consume(q(sf_dir)))
