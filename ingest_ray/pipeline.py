@@ -41,9 +41,12 @@ def _overlap_fits(all_el) -> bool:
     table PLUS both branches' in-flight and output blocks; when that
     approaches the object-store cap the store churns evictions and the
     'optimization' inverts (measured at 120M elements / 40GB store:
-    sequential 150 s vs overlapped 286 s — the same overlap that wins
-    37.2 -> 33.2 s at 30M). 3x the element table is a conservative
-    proxy for peak concurrent footprint."""
+    sequential 150 s vs overlapped 286 s, and 221 vs 269 in a paired
+    A/B — the same overlap that wins 37.2 -> 33.2 s at 30M). 6x the
+    element table is the proxy for peak concurrent footprint: both
+    branches' in-flight + output blocks and the plasma watermarks bite
+    well before literal capacity (3x still chose overlap at 120M/40GB
+    and lost every paired measurement)."""
     import os as _os
 
     import ray as _ray
@@ -53,7 +56,7 @@ def _overlap_fits(all_el) -> bool:
         return forced == "1"
     try:
         cap = _ray.cluster_resources().get("object_store_memory", 0)
-        return bool(cap) and all_el.size_bytes() * 3 < cap
+        return bool(cap) and all_el.size_bytes() * 6 < cap
     except Exception:
         return False
 
