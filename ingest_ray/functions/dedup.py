@@ -153,35 +153,22 @@ def band_hash_matrix(sig: np.ndarray, bands: int) -> np.ndarray:
 
 
 def _distinct_pairs(pairs_ds, extra: dict[str, str] | None = None):
-    """Distinct (a, b) pairs via an AGGREGATE over the packed pair key —
-    no per-pair ``map_groups`` dispatch (that pattern pays a pandas
-    call per unique pair). ``extra`` maps output column → source column
-    carried through with Min (pair-constant columns only)."""
+    """Distinct (a, b) pairs via an AGGREGATE over the two-column pair
+    key — no per-pair ``map_groups`` dispatch (that pattern pays a
+    pandas call per unique pair), and no packed key (a ``(a<<32)|b``
+    pack silently merges distinct pairs once doc ids exceed 2³², which
+    the declared 10¹²-doc scale requires). ``extra`` maps output column
+    → source column carried through with Min (pair-constant columns
+    only)."""
     from ray.data.aggregate import Min
 
-    def key_stage(batch: pa.Table) -> pa.Table:
-        a = batch.column("a").to_numpy(zero_copy_only=False)
-        b = batch.column("b").to_numpy(zero_copy_only=False)
-        k = (a.astype(np.uint64) << np.uint64(32)) | b.astype(np.uint64)
-        return batch.append_column("pk", pa.array(k, pa.uint64()))
-
-    keyed = pairs_ds.map_batches(key_stage, batch_format="pyarrow", zero_copy_batch=True)
     aggs = [Min(src, alias_name=out) for out, src in (extra or {}).items()]
-    grouped = keyed.groupby("pk").aggregate(*aggs) if aggs else keyed.groupby("pk").count()
-
-    extra_cols = list((extra or {}).keys())
-
-    def decode(batch: pa.Table) -> pa.Table:
-        pk = batch.column("pk").to_numpy(zero_copy_only=False).astype(np.uint64)
-        cols = {
-            "a": pa.array((pk >> np.uint64(32)).astype(np.int64), pa.int64()),
-            "b": pa.array((pk & np.uint64(0xFFFFFFFF)).astype(np.int64), pa.int64()),
-        }
-        for c in extra_cols:
-            cols[c] = batch.column(c)
-        return pa.table(cols)
-
-    return grouped.map_batches(decode, batch_format="pyarrow", zero_copy_batch=True)
+    grouped = (
+        pairs_ds.groupby(["a", "b"]).aggregate(*aggs)
+        if aggs
+        else pairs_ds.groupby(["a", "b"]).count()
+    )
+    return grouped.select_columns(["a", "b", *list((extra or {}).keys())])
 
 
 def minhash_lsh_candidates(
@@ -536,10 +523,14 @@ def verify_jaccard_pairs_distributed(
                 ids = ids[sel]
         texts = batch.column("text").to_pylist()
         flat, offs = shingle_hashes_batch(texts, shingle_n, unique=True)
+        z = np.zeros(len(ids), dtype=np.int64)
         return pa.table(
             {
                 "key": pa.array(ids, pa.int64()),
-                "pk": pa.array(np.zeros(len(ids), dtype=np.uint64), pa.uint64()),
+                # the pair key travels as TWO int64 columns — a packed
+                # (a<<32)|b key breaks silently past 2³² doc ids
+                "pa": pa.array(z, pa.int64()),
+                "pb": pa.array(z, pa.int64()),
                 "side": pa.array(np.full(len(ids), -1, dtype=np.int8), pa.int8()),
                 "sk": pa.ListArray.from_arrays(
                     pa.array(offs.astype(np.int32), pa.int32()), pa.array(flat, pa.uint64())
@@ -550,9 +541,9 @@ def verify_jaccard_pairs_distributed(
     def pair_side(batch: pa.Table) -> pa.Table:
         a = batch.column("a").to_numpy(zero_copy_only=False).astype(np.int64)
         b = batch.column("b").to_numpy(zero_copy_only=False).astype(np.int64)
-        pk = (a.astype(np.uint64) << np.uint64(32)) | b.astype(np.uint64)
         key = np.concatenate([a, b])
-        pk2 = np.concatenate([pk, pk])
+        pa2 = np.concatenate([a, a])
+        pb2 = np.concatenate([b, b])
         side = np.concatenate(
             [np.zeros(len(a), dtype=np.int8), np.ones(len(b), dtype=np.int8)]
         )
@@ -561,7 +552,8 @@ def verify_jaccard_pairs_distributed(
         return pa.table(
             {
                 "key": pa.array(key, pa.int64()),
-                "pk": pa.array(pk2, pa.uint64()),
+                "pa": pa.array(pa2, pa.int64()),
+                "pb": pa.array(pb2, pa.int64()),
                 "side": pa.array(side, pa.int8()),
                 "sk": pa.ListArray.from_arrays(empty_offs, pa.array([], pa.uint64())),
             }
@@ -580,7 +572,8 @@ def verify_jaccard_pairs_distributed(
 
     HALF_SCHEMA = pa.schema(
         [
-            pa.field("pk", pa.uint64()),
+            pa.field("pa", pa.int64()),
+            pa.field("pb", pa.int64()),
             pa.field("side", pa.int8()),
             pa.field("sk", SK_TYPE),
         ]
@@ -597,17 +590,22 @@ def verify_jaccard_pairs_distributed(
         doc_sk = doc_sk[order]
         pmask = ~is_doc
         pkeys = keys[pmask]
-        ppk = df["pk"].to_numpy()[pmask].astype(np.uint64)
+        ppa = df["pa"].to_numpy()[pmask].astype(np.int64)
+        ppb = df["pb"].to_numpy()[pmask].astype(np.int64)
         pside = side[pmask]
-        if len(ppk) == 0:
+        if len(ppa) == 0:
             return HALF_SCHEMA.empty_table()
-        # dedupe (pk, side): candidates repeat across LSH bands
-        so = np.lexsort((pside, ppk))
+        # dedupe (pair, side): candidates repeat across LSH bands
+        so = np.lexsort((pside, ppb, ppa))
         firsts = np.empty(len(so), dtype=bool)
         firsts[0] = True
-        firsts[1:] = (ppk[so][1:] != ppk[so][:-1]) | (pside[so][1:] != pside[so][:-1])
+        firsts[1:] = (
+            (ppa[so][1:] != ppa[so][:-1])
+            | (ppb[so][1:] != ppb[so][:-1])
+            | (pside[so][1:] != pside[so][:-1])
+        )
         sel = so[firsts]
-        pkeys, ppk, pside = pkeys[sel], ppk[sel], pside[sel]
+        pkeys, ppa, ppb, pside = pkeys[sel], ppa[sel], ppb[sel], pside[sel]
         pos = np.searchsorted(doc_keys, pkeys)
         pos_c = np.clip(pos, 0, max(len(doc_keys) - 1, 0))
         hit = (
@@ -618,11 +616,12 @@ def verify_jaccard_pairs_distributed(
         empty = np.empty(0, dtype=np.uint64)
         sk_out = [
             (np.asarray(doc_sk[pos_c[i]], dtype=np.uint64) if hit[i] else empty)
-            for i in range(len(ppk))
+            for i in range(len(ppa))
         ]
         return pa.table(
             {
-                "pk": pa.array(ppk, pa.uint64()),
+                "pa": pa.array(ppa, pa.int64()),
+                "pb": pa.array(ppb, pa.int64()),
                 "side": pa.array(pside, pa.int8()),
                 "sk": pa.array(sk_out, SK_TYPE),
             }
@@ -631,8 +630,10 @@ def verify_jaccard_pairs_distributed(
     halves = bucketed.groupby("bucket").map_groups(attach, batch_format="pandas")
 
     def add_pk_bucket(batch: pa.Table) -> pa.Table:
-        pk = batch.column("pk").to_numpy(zero_copy_only=False).astype(np.uint64)
-        b = (_mix(pk) % np.uint64(num_buckets)).astype(np.int32)
+        a = batch.column("pa").to_numpy(zero_copy_only=False).astype(np.int64)
+        bb = batch.column("pb").to_numpy(zero_copy_only=False).astype(np.int64)
+        h = _mix(_mix(a.view(np.uint64)) ^ bb.view(np.uint64))
+        b = (h % np.uint64(num_buckets)).astype(np.int32)
         return batch.append_column("bucket", pa.array(b, pa.int32()))
 
     halved = halves.map_batches(add_pk_bucket, batch_format="pyarrow", zero_copy_batch=True)
@@ -646,25 +647,30 @@ def verify_jaccard_pairs_distributed(
     )
 
     def join_halves(df: pd.DataFrame) -> pa.Table:
-        pk = df["pk"].to_numpy().astype(np.uint64)
-        if len(pk) == 0:
+        pa_ = df["pa"].to_numpy().astype(np.int64)
+        if len(pa_) == 0:
             return OUT_SCHEMA.empty_table()
+        pb_ = df["pb"].to_numpy().astype(np.int64)
         side = df["side"].to_numpy(dtype=np.int8)
         sk = df["sk"].to_numpy()  # object array of np arrays
-        # dedupe (pk, side) again: band duplicates may have attached in
-        # DIFFERENT key buckets, so the first dedupe can't see them all
-        so = np.lexsort((side, pk))
+        # dedupe (pair, side) again: band duplicates may have attached
+        # in DIFFERENT key buckets, so the first dedupe can't see them all
+        so = np.lexsort((side, pb_, pa_))
         firsts = np.empty(len(so), dtype=bool)
         firsts[0] = True
-        firsts[1:] = (pk[so][1:] != pk[so][:-1]) | (side[so][1:] != side[so][:-1])
+        firsts[1:] = (
+            (pa_[so][1:] != pa_[so][:-1])
+            | (pb_[so][1:] != pb_[so][:-1])
+            | (side[so][1:] != side[so][:-1])
+        )
         order = so[firsts]
-        pk_s = pk[order]
-        new = np.empty(len(pk_s), dtype=bool)
+        a_s, b_s = pa_[order], pb_[order]
+        new = np.empty(len(a_s), dtype=bool)
         new[0] = True
-        new[1:] = pk_s[1:] != pk_s[:-1]
+        new[1:] = (a_s[1:] != a_s[:-1]) | (b_s[1:] != b_s[:-1])
         grp_of = np.cumsum(new) - 1
         npairs = int(grp_of[-1]) + 1
-        lens = np.fromiter((len(sk[i]) for i in order), dtype=np.int64, count=len(pk_s))
+        lens = np.fromiter((len(sk[i]) for i in order), dtype=np.int64, count=len(a_s))
         flat = (
             np.concatenate([np.asarray(sk[i], dtype=np.uint64) for i in order])
             if lens.sum()
@@ -680,12 +686,11 @@ def verify_jaccard_pairs_distributed(
             inter = np.bincount(ss[1:][dup], minlength=npairs).astype(np.int64)
         union = sizes - inter
         jac = np.where(union > 0, inter / np.maximum(union, 1), 0.0)
-        upk = pk_s[new]
         keep = jac >= threshold
         return pa.table(
             {
-                "a": pa.array((upk[keep] >> np.uint64(32)).astype(np.int64), pa.int64()),
-                "b": pa.array((upk[keep] & np.uint64(0xFFFFFFFF)).astype(np.int64), pa.int64()),
+                "a": pa.array(a_s[new][keep], pa.int64()),
+                "b": pa.array(b_s[new][keep], pa.int64()),
                 "jaccard": pa.array(jac[keep], pa.float64()),
             }
         ).cast(OUT_SCHEMA)
@@ -1020,12 +1025,15 @@ def label_propagation_components(edges_ds, max_iters: int = 20, num_partitions: 
     assumption of :func:`minhash_dedup_assign`): iterative min-label
     propagation. Each round: every node takes the minimum label among
     itself and its neighbors — two Dataset shuffles (join labels onto
-    edge endpoints, then a min-groupby per node). Converges in
-    O(component diameter) rounds; near-dup clusters are dense
-    (diameter ≤ a few hops), so max_iters=20 is generous. The loop
-    stops early when a round changes nothing (count of label changes
-    is itself a distributed aggregate — no driver materialization of
-    the label table).
+    edge endpoints, then a min-groupby per node). Each round ends with
+    a pointer-jumping shortcut (label ← label(label), one self-join),
+    which turns plain propagation's O(diameter) rounds into
+    O(log diameter) — a 2^20-node chain converges inside the default
+    ``max_iters=20``. The loop stops early when a propagation round
+    changes nothing (count of label changes is itself a distributed
+    aggregate — no driver materialization of the label table), and
+    RAISES if the budget is exhausted before convergence rather than
+    returning silently-split components.
     """
     import pyarrow.compute as pc
     from ray.data.aggregate import Min, Sum
@@ -1110,5 +1118,35 @@ def label_propagation_components(edges_ds, max_iters: int = 20, num_partitions: 
         changed = folded.aggregate(Sum("changed", alias_name="n"))["n"]
         labels = folded.select_columns(["node", "label"]).materialize()
         if not changed:
-            break
-    return labels
+            # propagation fixed point: labels constant across every
+            # edge, hence equal to the component minimum — converged
+            return labels
+        # pointer jumping: label ← min(label, label(label)). Every
+        # label value is itself a node id present in `labels`, so the
+        # inner self-join is total; this halves the distance to the
+        # component minimum each round (O(log diameter) overall).
+        jumped = labels.join(
+            labels.rename_columns({"node": "jn", "label": "jl"}),
+            join_type="inner",
+            num_partitions=nparts,
+            on=("label",),
+            right_on=("jn",),
+        )
+
+        def jump(t: pa.Table) -> pa.Table:
+            lab = np.minimum(
+                t.column("label").to_numpy(zero_copy_only=False),
+                t.column("jl").to_numpy(zero_copy_only=False),
+            )
+            return pa.table(
+                {"node": t.column("node"), "label": pa.array(lab, pa.int64())}
+            )
+
+        labels = jumped.map_batches(
+            jump, batch_format="pyarrow", zero_copy_batch=True
+        ).materialize()
+    raise RuntimeError(
+        f"label_propagation_components did not converge in {max_iters} rounds "
+        f"(last round changed {changed} labels); component labels would be "
+        "silently wrong — raise max_iters"
+    )

@@ -244,6 +244,79 @@ def test_label_propagation_equals_union_find(ray_session, corpus):
     pd.testing.assert_frame_equal(uf, lp)
 
 
+def test_label_propagation_long_chain_converges(ray_session):
+    """A chain whose diameter far exceeds max_iters must still converge
+    (pointer jumping gives O(log diameter) rounds) — plain propagation
+    would silently mislabel most of the chain."""
+    import ray.data as rd
+
+    from ingest_ray.functions.dedup import label_propagation_components
+
+    n = 300  # diameter 299 >> max_iters=20
+    a = np.arange(n - 1, dtype=np.int64)
+    edges = rd.from_arrow(pa.table({"a": pa.array(a), "b": pa.array(a + 1)})).repartition(4)
+    got = label_propagation_components(edges, max_iters=20).to_pandas()
+    assert set(got["label"]) == {0}
+    assert len(got) == n
+
+
+def test_label_propagation_raises_on_nonconvergence(ray_session):
+    """Exhausting the iteration budget must raise, not return split
+    components."""
+    import ray.data as rd
+
+    from ingest_ray.functions.dedup import label_propagation_components
+
+    n = 64
+    a = np.arange(n - 1, dtype=np.int64)
+    edges = rd.from_arrow(pa.table({"a": pa.array(a), "b": pa.array(a + 1)}))
+    with pytest.raises(RuntimeError, match="did not converge"):
+        label_propagation_components(edges, max_iters=1)
+
+
+def test_dedup_pair_keys_past_32bit(ray_session, corpus):
+    """Doc ids above 2³² through candidates → verify → assign: the pair
+    plumbing must not pack ids into 32-bit halves. The big-id corpus
+    (ids + 5·2³²) must produce exactly the small-id results shifted."""
+    import ray.data as rd
+
+    from ingest_ray.functions.dedup import (
+        minhash_dedup_assign,
+        minhash_lsh_candidates,
+        verify_jaccard_pairs_distributed,
+    )
+
+    off = 5 << 32
+    ids = corpus.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    big = pa.table(
+        {"doc_id": pa.array(ids + off, pa.int64()), "text": corpus.column("text")}
+    )
+    docs_s = rd.from_arrow(corpus)
+    docs_b = rd.from_arrow(big)
+
+    cand_s = minhash_lsh_candidates(docs_s, num_hashes=64, bands=16).materialize()
+    cand_b = minhash_lsh_candidates(docs_b, num_hashes=64, bands=16).materialize()
+    ps = {(int(r["a"]), int(r["b"])) for r in cand_s.take_all()}
+    pb = {(int(r["a"]) - off, int(r["b"]) - off) for r in cand_b.take_all()}
+    assert ps == pb and len(ps) > 0
+
+    vs = {
+        (int(r["a"]), int(r["b"]))
+        for r in verify_jaccard_pairs_distributed(cand_s, docs_s, threshold=0.5).take_all()
+    }
+    vb = {
+        (int(r["a"]) - off, int(r["b"]) - off)
+        for r in verify_jaccard_pairs_distributed(cand_b, docs_b, threshold=0.5).take_all()
+    }
+    assert vs == vb and len(vs) > 0
+
+    asg_s = minhash_dedup_assign(docs_s, threshold=0.5).to_pandas()
+    asg_b = minhash_dedup_assign(docs_b, threshold=0.5).to_pandas()
+    ms = dict(zip(asg_s["doc_id"], asg_s["keep_id"]))
+    mb = {int(d) - off: int(k) - off for d, k in zip(asg_b["doc_id"], asg_b["keep_id"])}
+    assert ms == mb
+
+
 def test_label_propagation_components_random_graph(ray_session):
     """LP labels equal brute-force connected components on random graphs."""
     import ray.data as rd
