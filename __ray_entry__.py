@@ -98,9 +98,18 @@ def entry() -> Any:
 
 
 def _read(sf_dir: str, table: str, columns=None):
+    import pyarrow.parquet as pq
     import ray.data as rd
 
-    return rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
+    # the driver-written testdata parquet carries pandas schema
+    # metadata, which makes pa.Schema unhashable inside Ray's
+    # schema-unification fast path (warn + slow path per op) — read
+    # under the metadata-free schema instead
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    schema = pq.read_schema(path).remove_metadata()
+    if columns is not None:
+        schema = pa.schema([schema.field(c) for c in columns])
+    return rd.read_parquet(path, columns=columns, schema=schema)
 
 
 def q_q1_lineitem(sf_dir: str):

@@ -533,6 +533,23 @@ def patch_tiles(
         if c not in affected
         for t in man["tiles"]
     ]
+    n_patched = patched.count()
+    if n_patched == 0 and not untouched_boxes:
+        # the patch emptied the ENTIRE store: there are no bounds to
+        # compare and nothing to re-optimize — delete tiles+manifests
+        # and report the removal instead of entering the full-rebuild
+        # path with an empty corpus (whose global_bounds is non-finite)
+        import shutil
+
+        shutil.rmtree(os.path.join(out_path, "tiles"), ignore_errors=True)
+        shutil.rmtree(_manifest_dir(out_path), ignore_errors=True)
+        os.makedirs(os.path.join(out_path, "tiles"), exist_ok=True)
+        os.makedirs(_manifest_dir(out_path), exist_ok=True)
+        return {
+            "rewritten": [],
+            "removed_cells": sorted(int(c) for c in affected & set(manifests)),
+            "full_rebuild": False,
+        }
     box_arr = np.array(untouched_boxes, dtype=np.float32).reshape(-1, 4)
     new_bounds = [
         float(b)
@@ -543,7 +560,7 @@ def patch_tiles(
             box_arr[:, 3].max() if len(box_arr) else np.float32(-np.inf),
         )
     ]
-    if patched.count():
+    if n_patched:
         pb = global_bounds(patched)
         new_bounds = [
             min(new_bounds[0], pb[0]),

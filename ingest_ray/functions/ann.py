@@ -37,7 +37,9 @@ def _normalize(mat: np.ndarray) -> np.ndarray:
 def _list_matrix(col) -> np.ndarray:
     """``list<float>`` column → (n, dim) float64 matrix via Arrow list
     offsets — no per-row Python conversion (the round-2 hot spot in
-    ``ivf_topk.per_list``)."""
+    ``ivf_topk.per_list``). Fixed-dimension embeddings are the
+    contract: ragged or null rows raise instead of silently reading
+    neighboring rows' values."""
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
     n = len(col)
@@ -46,12 +48,14 @@ def _list_matrix(col) -> np.ndarray:
     off = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
     vals = col.values.to_numpy(zero_copy_only=False)
     dim = int(off[1] - off[0])
-    if np.all(np.diff(off) == dim):
-        return np.asarray(
-            vals[off[0] : off[0] + n * dim], dtype=np.float64
-        ).reshape(n, dim)
-    idx = off[:-1, None] + np.arange(dim)[None, :]
-    return np.asarray(vals, dtype=np.float64)[idx]
+    if col.null_count or not np.all(np.diff(off) == dim):
+        raise ValueError(
+            "embedding column is ragged or has nulls; fixed-dimension "
+            f"list<float> is the contract (first row dim={dim})"
+        )
+    return np.asarray(
+        vals[off[0] : off[0] + n * dim], dtype=np.float64
+    ).reshape(n, dim)
 
 
 def brute_force_topk(corpus_ds, queries_table: pa.Table, k: int = 5):

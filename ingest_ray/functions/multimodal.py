@@ -46,22 +46,29 @@ def media_spans_table(docs_batch: pa.Table) -> pa.Table:
     spans = explode_spans(docs_batch)
     media = spans.filter(pc.equal(spans.column("kind"), "media"))
     refs = media.column("media_ref").to_pylist()
-    types, payloads, sizes = [], [], []
+    n = len(refs)
     ref_hashes = hash64_str(refs) if refs else np.array([], dtype=np.uint64)
-    for i, r in enumerate(refs):
-        h = splitmix64(ref_hashes[i])  # stable across processes (not hash())
-        t = ["image", "audio", "video"][int(h) % 3]
-        size = 64 + int(h) % 192
-        payloads.append(bytes((int(splitmix64(np.uint64(int(h) + i))) & 0xFF) for i in range(size)))
-        types.append(t)
-        sizes.append(size)
+    h = splitmix64(ref_hashes)  # stable across processes (not hash())
+    kinds = np.array(["image", "audio", "video"])[(h % np.uint64(3)).astype(np.int64)]
+    sizes = (np.uint64(64) + h % np.uint64(192)).astype(np.int64)
+    # one splitmix sweep over (hash + byte index) builds every payload
+    total = int(sizes.sum())
+    starts = np.cumsum(sizes) - sizes
+    row_of = np.repeat(np.arange(n, dtype=np.int64), sizes)
+    within = np.arange(total, dtype=np.uint64) - np.repeat(starts, sizes).astype(np.uint64)
+    with np.errstate(over="ignore"):
+        flat = (splitmix64(h[row_of] + within) & np.uint64(0xFF)).astype(np.uint8)
+    offs = np.concatenate([np.zeros(1, dtype=np.int64), np.cumsum(sizes)]).astype(np.int32)
+    payload = pa.Array.from_buffers(
+        pa.binary(), n, [None, pa.py_buffer(offs.tobytes()), pa.py_buffer(flat.tobytes())]
+    )
     return pa.table(
         {
             "media_ref": media.column("media_ref"),
             "doc_id": media.column("doc_id"),
             "span_idx": media.column("span_idx"),
-            "media_type": pa.array(types, pa.string()),
-            "payload": pa.array(payloads, pa.binary()),
+            "media_type": pa.array(kinds, pa.string()),
+            "payload": payload,
             "n_bytes": pa.array(sizes, pa.int64()),
         }
     ).cast(MEDIA_SCHEMA)

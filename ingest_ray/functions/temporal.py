@@ -26,16 +26,14 @@ import pyarrow as pa
 
 from ..util import splitmix64
 
-
-def _restore_int_dtypes(df: pd.DataFrame, arrow_types: dict) -> pd.DataFrame:
-    """Undo the float64 promotion the union's null-padding causes:
-    a side's integer column is null on the OTHER side's rows, so the
-    whole pandas block arrives float — cast back once the join output
-    contains only genuine values."""
-    for c, t in arrow_types.items():
-        if c in df.columns and pa.types.is_integer(t) and df[c].dtype.kind == "f":
-            df[c] = df[c].astype("int64")
-    return df
+# Group bodies receive the bucket as ARROW and split the two sides
+# BEFORE any pandas conversion: the null-padded union keeps exact
+# int64 in Arrow, and each side's own columns are null-free, so no
+# integer column ever rides through float64 (which silently corrupts
+# values above 2^53). Every group output is cast to one fixed Arrow
+# schema — block schemas stay identical across buckets (incl. empty
+# ones), so the streaming executor's schema-unification path stays
+# cold and the "different schema" warnings disappear.
 
 
 def asof_join(
@@ -98,31 +96,45 @@ def asof_join(
     )
 
     out_cols = [*left_cols, *rcols]
+    out_schema = pa.schema(
+        [pa.field(c, left_types[c]) for c in left_cols]
+        + [pa.field(c, _right_types[c]) for c in rcols]
+    )
 
-    def match(df: pd.DataFrame) -> pd.DataFrame:
-        left = df[df["side"] == 0]
-        right = df[df["side"] == 1]
+    def match(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        side = t.column("side")
+        left = t.filter(pc.equal(side, 0)).select(left_cols).to_pandas()
+        right = t.filter(pc.equal(side, 1)).select([key, *rcols]).to_pandas()
         if len(left) == 0 or len(right) == 0:
-            return df.iloc[0:0][out_cols]
-        right = right[[key, *rcols]].sort_values([key, right_ts, tie], kind="stable")
+            return out_schema.empty_table()
+        right = right.sort_values([key, right_ts, tie], kind="stable")
         # deterministic tie-break: keep the max-tie_col row per
         # (key, right_ts) — mirrored in the SQL oracle
-        right = right.drop_duplicates([key, right_ts], keep="last")
-        rdtypes = right.dtypes
+        right = right.drop_duplicates([key, right_ts], keep="last").reset_index(drop=True)
+        # merge_asof null-pads unmatched left rows, promoting integer
+        # right columns through float64 — so probe with a bounded row
+        # index only, then gather the typed right columns positionally
+        probe = right[[key, right_ts]].copy()
+        probe["_ridx"] = np.arange(len(right), dtype=np.int64)
         merged = pd.merge_asof(
-            left[left_cols].sort_values(left_ts, kind="stable"),
-            right.sort_values(right_ts, kind="stable"),
+            left.sort_values(left_ts, kind="stable"),
+            probe.sort_values(right_ts, kind="stable"),
             left_on=left_ts,
             right_on=right_ts,
             by=key,
             direction="backward",
         )
-        out = merged.dropna(subset=[right_ts])[out_cols]
-        for c in rcols:  # un-promote: NaNs from unmatched rows are gone
-            out[c] = out[c].astype(rdtypes[c])
-        return _restore_int_dtypes(out, {**dict(zip(left_schema.names, left_schema.types)), **_right_types})
+        hit = merged["_ridx"].notna().to_numpy()
+        ridx = merged["_ridx"].to_numpy()[hit].astype(np.int64)
+        out = merged.loc[hit, left_cols].reset_index(drop=True)
+        rsel = right.iloc[ridx].reset_index(drop=True)
+        for c in rcols:
+            out[c] = rsel[c]
+        return pa.Table.from_pandas(out[out_cols], preserve_index=False).cast(out_schema)
 
-    return tagged.groupby("bucket").map_groups(match, batch_format="pandas")
+    return tagged.groupby("bucket").map_groups(match, batch_format="pyarrow")
 
 
 def range_join(
@@ -189,12 +201,19 @@ def range_join(
         right_ds.map_batches(tag_right, batch_format="pyarrow", zero_copy_batch=True)
     )
     out_cols = [*left_cols, *rcols]
+    out_schema = pa.schema(
+        [pa.field(c, left_types[c]) for c in left_cols]
+        + [pa.field(c, _right_types[c]) for c in rcols]
+    )
 
-    def match(df: pd.DataFrame) -> pd.DataFrame:
-        left = df[df["side"] == 0]
-        right = df[df["side"] == 1]
+    def match(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        side = t.column("side")
+        left = t.filter(pc.equal(side, 0)).select(left_cols).to_pandas()
+        right = t.filter(pc.equal(side, 1)).select([key, *rcols]).to_pandas()
         if len(left) == 0 or len(right) == 0:
-            return df.iloc[0:0][out_cols]
+            return out_schema.empty_table()
         lk, l_inv = np.unique(left[key].to_numpy(np.int64), return_inverse=True)
         rk_raw = right[key].to_numpy(np.int64)
         # kcode: position of each right key in the LEFT key vocabulary
@@ -204,7 +223,7 @@ def range_join(
         keep = (pos < len(lk)) & (lk[pos_c] == rk_raw)
         right = right.iloc[np.flatnonzero(keep)]
         if len(right) == 0:
-            return df.iloc[0:0][out_cols]
+            return out_schema.empty_table()
         kcode = pos_c[keep].astype(np.int64)
         rt = right[right_ts].to_numpy("datetime64[us]").astype(np.int64)
         lt = left[left_ts].to_numpy("datetime64[us]").astype(np.int64)
@@ -222,7 +241,7 @@ def range_join(
         counts = hi_i - lo_i
         tot = int(counts.sum())
         if tot == 0:
-            return df.iloc[0:0][out_cols]
+            return out_schema.empty_table()
         lrep = np.repeat(np.arange(len(left)), counts)
         first = np.cumsum(counts) - counts
         ridx = np.arange(tot) - np.repeat(first, counts) + np.repeat(lo_i, counts)
@@ -230,9 +249,9 @@ def range_join(
         rsel = right.iloc[ridx].reset_index(drop=True)
         for c in rcols:
             out[c] = rsel[c]
-        return _restore_int_dtypes(out, {**left_types, **_right_types})
+        return pa.Table.from_pandas(out[out_cols], preserve_index=False).cast(out_schema)
 
-    return tagged.groupby("bucket").map_groups(match, batch_format="pandas")
+    return tagged.groupby("bucket").map_groups(match, batch_format="pyarrow")
 
 
 def sliding_window_agg(
@@ -265,14 +284,16 @@ def sliding_window_agg(
         b = (splitmix64(k) % np.uint64(num_buckets)).astype(np.int32)
         return batch.append_column("bucket", pa.array(b, pa.int32()))
 
-    cols = [c for c in ds.schema().names]
+    schema = ds.schema()
+    cols = list(schema.names)
+    out_schema = pa.schema(
+        [pa.field(c, t) for c, t in zip(schema.names, schema.types)]
+        + [pa.field("w_count", pa.int64()), pa.field("w_sum", pa.float64())]
+    )
 
-    def agg(df: pd.DataFrame) -> pd.DataFrame:
+    def agg(df: pd.DataFrame) -> pa.Table:
         if len(df) == 0:
-            out = df[cols].copy()
-            out["w_count"] = pd.Series([], dtype="int64")
-            out["w_sum"] = pd.Series([], dtype="float64")
-            return out
+            return out_schema.empty_table()
         k_raw = df[key].to_numpy(np.int64)
         kc, kcode = np.unique(k_raw, return_inverse=True)
         t = df[ts].to_numpy("datetime64[us]").astype(np.int64)
@@ -301,7 +322,7 @@ def sliding_window_agg(
         out = df.iloc[order][cols].reset_index(drop=True)
         out["w_count"] = w_count
         out["w_sum"] = w_sum
-        return out
+        return pa.Table.from_pandas(out, preserve_index=False).cast(out_schema)
 
     return (
         ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)

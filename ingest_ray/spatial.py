@@ -38,36 +38,57 @@ class PolygonSet:
     @classmethod
     def from_features(cls, table: pa.Table):
         """Build from a features table (key, positions, ring_offsets,
-        minx..maxy) — only area features (kind==3) are meaningful."""
+        minx..maxy) — only area features (kind==3) are meaningful.
+        Fully vectorized from the Arrow list offsets (no per-row
+        Python): this builder also runs inside every
+        ``pip_join_partitioned`` bucket."""
         ids = table.column("key").to_numpy(zero_copy_only=False)
+        n = len(ids)
+        if n == 0:
+            return cls(
+                ids,
+                np.empty(0),
+                np.zeros(1, dtype=np.int64),
+                np.empty((0, 2), dtype=np.int64),
+                np.empty((0, 4)),
+            )
         pos = table.column("positions")
         if isinstance(pos, pa.ChunkedArray):
             pos = pos.combine_chunks()
         ring = table.column("ring_offsets")
         if isinstance(ring, pa.ChunkedArray):
             ring = ring.combine_chunks()
-        values = []
-        offsets = [0]
-        spans = []
-        pos_l = pos.to_pylist()
-        ring_l = ring.to_pylist()
-        for i in range(len(ids)):
-            p = pos_l[i] or []
-            r = ring_l[i] or [0, len(p) // 2]
-            start_ring = len(offsets) - 1
-            base = offsets[-1]
-            for k in range(1, len(r)):
-                offsets.append(base + r[k])
-            values.append(np.asarray(p, dtype=np.float64))
-            spans.append((start_ring, start_ring + len(r) - 1))
-        vals = np.concatenate(values) if values else np.empty(0)
+        poff = pos.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        vals = np.asarray(
+            pos.values.to_numpy(zero_copy_only=False)[poff[0] : poff[-1]], dtype=np.float64
+        )
+        poff = poff - poff[0]
+        npairs = (poff[1:] - poff[:-1]) // 2
+        base = np.cumsum(npairs) - npairs  # pair offset of each row's values
+        roff = ring.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        rv = ring.values.to_numpy(zero_copy_only=False)[roff[0] : roff[-1]].astype(np.int64)
+        roff = roff - roff[0]
+        rcnt = roff[1:] - roff[:-1]
+        # rows with an empty/null ring list default to one ring [0, npairs]
+        eff_cnt = np.where(rcnt == 0, 1, rcnt - 1)  # rings per row
+        starts = np.cumsum(eff_cnt) - eff_cnt  # first ring index per row
+        out = np.empty(int(eff_cnt.sum()), dtype=np.int64)
+        if len(rv):
+            row_of = np.repeat(np.arange(n), rcnt)
+            within = np.arange(len(rv), dtype=np.int64) - np.repeat(roff[:-1], rcnt)
+            keep = within > 0  # drop each row's leading 0
+            out[starts[row_of[keep]] + (within[keep] - 1)] = rv[keep] + base[row_of[keep]]
+        dflt = np.flatnonzero(rcnt == 0)
+        out[starts[dflt]] = base[dflt] + npairs[dflt]
+        offsets = np.concatenate([np.zeros(1, dtype=np.int64), out])
+        spans = np.column_stack([starts, starts + eff_cnt]).astype(np.int64)
         bboxes = np.column_stack(
             [
                 table.column(c).to_numpy(zero_copy_only=False).astype(np.float64)
                 for c in ("minx", "miny", "maxx", "maxy")
             ]
-        ) if len(ids) else np.empty((0, 4))
-        return cls(ids, vals, np.asarray(offsets), np.asarray(spans).reshape(-1, 2), bboxes)
+        )
+        return cls(ids, vals, offsets, spans, bboxes)
 
     def contains(self, px: np.ndarray, py: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         """→ (point_idx, poly_id) pairs for every containment hit.
@@ -161,8 +182,6 @@ def pip_join_partitioned(
     prefilter in :meth:`PolygonSet.contains` restricts the exact
     ray-cast to candidate points — no per-cell rescan of the bucket.
     """
-    import pandas as pd
-
     from .cells import _SQRT3, _hex_size, hex_cover_bbox
     from .util import splitmix64
 
@@ -245,58 +264,28 @@ def pip_join_partitioned(
         [pa.field(c, pa.float64()) for c in pt_cols] + [pa.field("poly_key", pa.uint64())]
     )
 
-    def per_bucket(df: pd.DataFrame) -> pa.Table:
-        is_poly = df["is_poly"].to_numpy(dtype=bool)
-        pts = df[~is_poly]
-        pls = df[is_poly]
+    def per_bucket(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        is_poly = t.column("is_poly")
+        pts = t.filter(pc.invert(is_poly))
+        pls = t.filter(is_poly)
         if len(pts) == 0 or len(pls) == 0:
             return OUT_SCHEMA.empty_table()
-        pl_u = pls.drop_duplicates("key")
-        pset = PolygonSet(
-            pl_u["key"].to_numpy().astype(np.uint64),
-            np.concatenate([np.asarray(v, dtype=np.float64) for v in pl_u["positions"]])
-            if len(pl_u)
-            else np.empty(0),
-            _ring_offsets_from_rows(pl_u),
-            _ring_spans_from_rows(pl_u),
-            pl_u[["minx", "miny", "maxx", "maxy"]].to_numpy().astype(np.float64),
-        )
-        px = pts[f"pt_{x_col}"].to_numpy(dtype=np.float64)
-        py = pts[f"pt_{y_col}"].to_numpy(dtype=np.float64)
+        # dedupe polygons by key (replicated once per touched bucket)
+        keys = pls.column("key").to_numpy(zero_copy_only=False)
+        _, first = np.unique(keys, return_index=True)
+        pls = pls.take(pa.array(np.sort(first), pa.int64()))
+        pset = PolygonSet.from_features(pls)
+        px = pts.column(f"pt_{x_col}").to_numpy(zero_copy_only=False)
+        py = pts.column(f"pt_{y_col}").to_numpy(zero_copy_only=False)
         pt_idx, poly_id = pset.contains(px, py)
-        cols = {
-            c: pa.array(pts[f"pt_{c}"].to_numpy(dtype=np.float64)[pt_idx], pa.float64())
-            for c in pt_cols
-        }
+        take = pa.array(pt_idx, pa.int64())
+        cols = {c: pts.column(f"pt_{c}").take(take) for c in pt_cols}
         cols["poly_key"] = pa.array(poly_id, pa.uint64())
         return pa.table(cols).cast(OUT_SCHEMA)
 
-    return bucketed.groupby("bucket").map_groups(per_bucket, batch_format="pandas")
-
-
-def _ring_offsets_from_rows(df) -> np.ndarray:
-    """Packed pair-offsets for a polygon-row DataFrame (positions +
-    ring_offsets object columns) — the PolygonSet layout."""
-    offsets = [0]
-    for p, r in zip(df["positions"], df["ring_offsets"]):
-        p = np.asarray(p)
-        r = np.asarray(r) if len(np.asarray(r)) else np.array([0, len(p) // 2])
-        base = offsets[-1]
-        for k in range(1, len(r)):
-            offsets.append(base + int(r[k]))
-    return np.asarray(offsets, dtype=np.int64)
-
-
-def _ring_spans_from_rows(df) -> np.ndarray:
-    spans = []
-    ring_i = 0
-    for p, r in zip(df["positions"], df["ring_offsets"]):
-        p = np.asarray(p)
-        r = np.asarray(r) if len(np.asarray(r)) else np.array([0, len(p) // 2])
-        n_rings = len(r) - 1
-        spans.append((ring_i, ring_i + n_rings))
-        ring_i += n_rings
-    return np.asarray(spans, dtype=np.int64).reshape(-1, 2)
+    return bucketed.groupby("bucket").map_groups(per_bucket, batch_format="pyarrow")
 
 
 # --------------------------------------------------------------------------
@@ -554,8 +543,26 @@ def knn_join_partitioned(
     return bucketed.groupby("bucket").map_groups(per_bucket, batch_format="pandas")
 
 
+def _empty_raster_vector_result():
+    import ray.data as rd
+
+    return rd.from_arrow(
+        pa.schema(
+            [
+                pa.field("key", pa.uint64()),
+                pa.field("chip_mean", pa.float64()),
+                pa.field("chips", pa.int32()),
+            ]
+        ).empty_table()
+    )
+
+
 def raster_vector_join_partitioned(
-    features_ds, chips_ds, res: int = 7, cover_cap: int = 4096
+    features_ds,
+    chips_ds,
+    res: int = 7,
+    cover_cap: int = 4096,
+    big_collect_limit: int = 65536,
 ):
     """Cell-keyed raster↔vector join with a distributed hash join —
     chips are a Dataset, not a broadcast table (the planet-scale path
@@ -571,15 +578,19 @@ def raster_vector_join_partitioned(
     feature bboxes are clipped to the raster extent first (an
     aggregate over chip-cell centers, mirroring the broadcast
     variant's clip), and any feature whose clipped cover would still
-    exceed ``cover_cap`` cells skips enumeration — it is routed
-    through a tiny collected side set and matched against chips with
-    the O(1) :func:`ingest_ray.cells.hex_cover_contains` test instead
-    (few such features by area distribution; documented assumption).
+    exceed ``cover_cap`` cells skips enumeration — it is matched
+    against chips with the O(1)
+    :func:`ingest_ray.cells.hex_cover_contains` test instead. Up to
+    ``big_collect_limit`` such features ride a driver-collected
+    broadcast (few by area distribution); beyond that the big side
+    stays a Dataset, replicated once per chip hash bucket and matched
+    inside a bucket groupby — no corpus-rate-dependent driver path at
+    ANY big-feature rate (same compute, one extra exchange).
     """
     from ray.data.aggregate import Count, Max, Mean, Min
 
     from .cells import _SQRT3, _hex_size, hex_center, hex_cover_bbox, hex_cover_contains
-    from .util import effective_num_partitions, tune_shuffle_context
+    from .util import effective_num_partitions, splitmix64, tune_shuffle_context
 
     chips_ds = chips_ds.materialize()  # consumed by extent agg + join (+ big scan)
 
@@ -596,6 +607,9 @@ def raster_vector_join_partitioned(
         Max("cx", alias_name="x1"),
         Max("cy", alias_name="y1"),
     )
+    if erow is None or erow.get("x0") is None:
+        # no chips: nothing can match; the extent is undefined
+        return _empty_raster_vector_result()
     s = _hex_size(res)
     margin = 2.0 * s
     extent = (
@@ -670,15 +684,11 @@ def raster_vector_join_partitioned(
         explode_cover, batch_format="pyarrow", zero_copy_batch=True
     ).materialize()
     cover = exploded.filter(expr="ccell >= 0").select_columns(["ccell", "key"])
-    big_parts = list(
-        exploded.filter(expr="ccell < 0").iter_batches(
-            batch_format="pyarrow", batch_size=1 << 20
-        )
-    )
-    big_t = pa.concat_tables(big_parts, promote_options="default") if big_parts else None
+    big_ds = exploded.filter(expr="ccell < 0").materialize()
+    n_big = big_ds.count()
 
     chips = chips_ds.map_batches(chip_side, batch_format="pyarrow", zero_copy_batch=True)
-    n_small = exploded.count() - (len(big_t) if big_t is not None else 0)
+    n_small = exploded.count() - n_big
     branches = []
     if n_small > 0:
         tune_shuffle_context()
@@ -692,7 +702,30 @@ def raster_vector_join_partitioned(
             ).select_columns(["key", "band_mean"])
         )
 
-    if big_t is not None and len(big_t):
+    def _match_block(bkeys, bboxes, cells, vals) -> pa.Table:
+        out_k, out_v = [], []
+        for j in range(len(bkeys)):
+            m = hex_cover_contains(cells, *bboxes[j], res)
+            if m.any():
+                out_k.append(np.full(int(m.sum()), bkeys[j], dtype=np.uint64))
+                out_v.append(vals[m])
+        return pa.table(
+            {
+                "key": pa.array(
+                    np.concatenate(out_k) if out_k else np.empty(0, np.uint64), pa.uint64()
+                ),
+                "band_mean": pa.array(
+                    np.concatenate(out_v) if out_v else np.empty(0, np.float64), pa.float64()
+                ),
+            }
+        )
+
+    if 0 < n_big <= big_collect_limit:
+        # few big features: broadcast their (key, bbox) rows once
+        big_t = pa.concat_tables(
+            list(big_ds.iter_batches(batch_format="pyarrow", batch_size=1 << 20)),
+            promote_options="default",
+        )
         big_ref = ray.put(
             (
                 big_t.column("key").to_numpy(zero_copy_only=False).astype(np.uint64),
@@ -709,39 +742,88 @@ def raster_vector_join_partitioned(
             bkeys, bboxes = ray.get(big_ref)
             cells = batch.column("cell").to_numpy(zero_copy_only=False).astype(np.uint64)
             vals = batch.column("band_mean").to_numpy(zero_copy_only=False)
-            out_k, out_v = [], []
-            for j in range(len(bkeys)):
-                m = hex_cover_contains(cells, *bboxes[j], res)
-                if m.any():
-                    out_k.append(np.full(int(m.sum()), bkeys[j], dtype=np.uint64))
-                    out_v.append(vals[m])
-            if not out_k:
-                return pa.table(
-                    {"key": pa.array([], pa.uint64()), "band_mean": pa.array([], pa.float64())}
-                )
-            return pa.table(
-                {
-                    "key": pa.array(np.concatenate(out_k), pa.uint64()),
-                    "band_mean": pa.array(np.concatenate(out_v), pa.float64()),
-                }
-            )
+            return _match_block(bkeys, bboxes, cells, vals)
 
         branches.append(
             chips_ds.map_batches(match_big, batch_format="pyarrow", zero_copy_batch=True)
         )
+    elif n_big > big_collect_limit:
+        # big-feature count outgrew the broadcast: keep the big side a
+        # Dataset — replicate each big row to every chip hash bucket
+        # (bounded ×NB copies), chips hash once, one bucket groupby
+        # runs the same O(1)-membership kernel. No driver collect.
+        NB = 64
+
+        def rep_big(batch: pa.Table) -> pa.Table:
+            n = len(batch)
+            sub = batch.select(["key", "bminx", "bminy", "bmaxx", "bmaxy"]).take(
+                pa.array(np.repeat(np.arange(n, dtype=np.int64), NB), pa.int64())
+            )
+            out = pa.table(
+                {
+                    "bucket": pa.array(np.tile(np.arange(NB, dtype=np.int32), n), pa.int32()),
+                    "is_chip": pa.array(np.zeros(n * NB, dtype=bool), pa.bool_()),
+                    "key": sub.column("key"),
+                    "bminx": sub.column("bminx"),
+                    "bminy": sub.column("bminy"),
+                    "bmaxx": sub.column("bmaxx"),
+                    "bmaxy": sub.column("bmaxy"),
+                    "cell": pa.nulls(n * NB, pa.int64()),
+                    "band_mean": pa.nulls(n * NB, pa.float64()),
+                }
+            )
+            return out
+
+        def chip_rows(batch: pa.Table) -> pa.Table:
+            cells = batch.column("cell").to_numpy(zero_copy_only=False).astype(np.uint64)
+            n = len(cells)
+            bk = (splitmix64(cells) % np.uint64(NB)).astype(np.int32)
+            nanf = np.full(n, np.nan)
+            return pa.table(
+                {
+                    "bucket": pa.array(bk, pa.int32()),
+                    "is_chip": pa.array(np.ones(n, dtype=bool), pa.bool_()),
+                    "key": pa.array(np.zeros(n, dtype=np.uint64), pa.uint64()),
+                    "bminx": pa.array(nanf, pa.float64()),
+                    "bminy": pa.array(nanf, pa.float64()),
+                    "bmaxx": pa.array(nanf, pa.float64()),
+                    "bmaxy": pa.array(nanf, pa.float64()),
+                    "cell": pa.array(cells.view(np.int64), pa.int64()),
+                    "band_mean": batch.column("band_mean").cast(pa.float64()),
+                }
+            )
+
+        both = big_ds.map_batches(rep_big, batch_format="pyarrow", zero_copy_batch=True).union(
+            chips_ds.map_batches(chip_rows, batch_format="pyarrow", zero_copy_batch=True)
+        )
+
+        BIG_OUT = pa.schema(
+            [pa.field("key", pa.uint64()), pa.field("band_mean", pa.float64())]
+        )
+
+        def big_bucket(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            is_chip = t.column("is_chip")
+            ch = t.filter(is_chip)
+            ft = t.filter(pc.invert(is_chip))
+            if len(ch) == 0 or len(ft) == 0:
+                return BIG_OUT.empty_table()
+            cells = ch.column("cell").to_numpy(zero_copy_only=False).view(np.uint64)
+            vals = ch.column("band_mean").to_numpy(zero_copy_only=False)
+            bkeys = ft.column("key").to_numpy(zero_copy_only=False).astype(np.uint64)
+            bboxes = np.column_stack(
+                [
+                    ft.column(c).to_numpy(zero_copy_only=False)
+                    for c in ("bminx", "bminy", "bmaxx", "bmaxy")
+                ]
+            )
+            return _match_block(bkeys, bboxes, cells, vals).cast(BIG_OUT)
+
+        branches.append(both.groupby("bucket").map_groups(big_bucket, batch_format="pyarrow"))
 
     if not branches:
-        import ray.data as rd
-
-        return rd.from_arrow(
-            pa.schema(
-                [
-                    pa.field("key", pa.uint64()),
-                    pa.field("chip_mean", pa.float64()),
-                    pa.field("chips", pa.int32()),
-                ]
-            ).empty_table()
-        )
+        return _empty_raster_vector_result()
     joined = branches[0]
     for b in branches[1:]:
         joined = joined.union(b)

@@ -283,6 +283,32 @@ def test_patch_tiles_rounds_match_fresh_store(tmp_path):
     assert saw_incremental
 
 
+@pytest.mark.usefixtures("ray_session")
+def test_patch_tiles_empties_store(tmp_path):
+    """A patch that removes EVERY key must empty the store cleanly
+    (removed_cells reported, tiles+manifests gone) instead of entering
+    the full-rebuild path with an empty corpus."""
+    import os
+
+    import ray.data as rd
+
+    from ingest_ray.checkpoint import optimize_to_tiles, patch_tiles
+
+    cfg = EngineConfig(join_mode="broadcast")
+    docs = rd.from_arrow(golden_documents())
+    feats = _collect(ingest_features(docs, cfg))
+    store = str(tmp_path / "store")
+    optimize_to_tiles(
+        rd.from_arrow(feats), store, grid_divs=(4, 4), leaf_capacity=2, resume=False
+    ).materialize()
+    all_keys = feats.column("key").to_numpy(zero_copy_only=False).astype(np.uint64)
+    res = patch_tiles(store, None, all_keys, leaf_capacity=2)
+    assert res["full_rebuild"] is False
+    assert res["rewritten"] == []
+    assert len(res["removed_cells"]) > 0
+    assert os.listdir(os.path.join(store, "tiles")) == []
+
+
 def test_parse_o5c_equals_xml_fixtures():
     """The o5c BINARY fixtures must parse to the same change sets as
     their XML twins (o5c collapses create/modify into one upsert op —

@@ -122,6 +122,17 @@ def test_distributed_verify_equals_broadcast(ray_session, corpus):
     assert vb[["a", "b"]].equals(vd[["a", "b"]])
     assert np.allclose(vb["jaccard"], vd["jaccard"])
     assert len(vb) > 0
+    # force the no-id-filter fallback (over-threshold path): the full
+    # sketch shuffle must produce the same output with zero driver
+    # materialization of the candidate id set
+    vf = (
+        verify_jaccard_pairs_distributed(cands, docs, threshold=0.5, max_filter_ids=0)
+        .to_pandas()
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+    assert vb[["a", "b"]].equals(vf[["a", "b"]])
+    assert np.allclose(vb["jaccard"], vf["jaccard"])
 
 
 def test_dedup_assign_invariants(ray_session, corpus):

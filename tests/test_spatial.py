@@ -335,3 +335,61 @@ def test_raster_partitioned_world_spanning_feature(ray_session):
         a = sorted((int(r["key"]), int(r["chips"]), round(r["chip_mean"], 9)) for r in bc)
         b = sorted((int(r["key"]), int(r["chips"]), round(r["chip_mean"], 9)) for r in pt)
         assert a == b and {x[0] for x in a} == {1, 2}
+
+
+def test_raster_partitioned_empty_chips(ray_session):
+    """An empty chip table must yield the empty result, not a crash in
+    the extent aggregate."""
+    import ray.data as rd
+
+    from ingest_ray.spatial import raster_vector_join_partitioned
+
+    chips = pa.table(
+        {"cell": pa.array([], pa.uint64()), "band_mean": pa.array([], pa.float64())}
+    )
+    feats = pa.table(
+        {
+            "key": pa.array([1], pa.uint64()),
+            "minx": pa.array([0.0], pa.float32()),
+            "miny": pa.array([0.0], pa.float32()),
+            "maxx": pa.array([1.0], pa.float32()),
+            "maxy": pa.array([1.0], pa.float32()),
+        }
+    )
+    out = raster_vector_join_partitioned(
+        rd.from_arrow(feats), rd.from_arrow(chips), res=6
+    )
+    assert out.count() == 0
+    assert set(out.schema().names) == {"key", "chip_mean", "chips"}
+
+
+def test_raster_partitioned_distributed_big_side(ray_session):
+    """Forcing the over-threshold path (big_collect_limit=0) must keep
+    the big-feature side fully distributed and still match the
+    broadcast kernel exactly."""
+    import ray.data as rd
+
+    from ingest_ray.spatial import (
+        raster_vector_join,
+        raster_vector_join_partitioned,
+        synth_raster_chips,
+    )
+
+    chips = synth_raster_chips((0, 0, 3, 3), res=6)
+    feats = pa.table(
+        {
+            "key": pa.array([1, 2, 3], pa.uint64()),
+            "minx": pa.array([-179.0, 0.2, 50.0], pa.float32()),
+            "miny": pa.array([-85.0, 0.2, 50.0], pa.float32()),
+            "maxx": pa.array([179.0, 1.1, 60.0], pa.float32()),
+            "maxy": pa.array([85.0, 1.4, 60.0], pa.float32()),
+        }
+    )
+    fds = rd.from_arrow(feats)
+    bc = raster_vector_join(fds, chips, res=6).take_all()
+    pt = raster_vector_join_partitioned(
+        fds, rd.from_arrow(chips), res=6, cover_cap=50, big_collect_limit=0
+    ).take_all()
+    a = sorted((int(r["key"]), int(r["chips"]), round(r["chip_mean"], 9)) for r in bc)
+    b = sorted((int(r["key"]), int(r["chips"]), round(r["chip_mean"], 9)) for r in pt)
+    assert a == b and {x[0] for x in a} == {1, 2}
