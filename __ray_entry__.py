@@ -916,6 +916,79 @@ def q_simhash_pairs_docs(sf_dir: str):
     return simhash_near_pairs(docs, max_hamming=3).select_columns(["a", "b", "hamming"])
 
 
+def q_jaccard_dedup_docs(sf_dir: str):
+    """Exactly-oracleable dedup CLUSTER assignment: edges = exact-text
+    pairs ∪ all-pairs word-set Jaccard ≥0.8 (the oracled ngram_jaccard
+    kernel), connected components via the distributed label
+    propagation, keep_id = component minimum. The LSH variant
+    (minhash_dedup_docs) has the same output contract but probabilistic
+    candidate recall; this twin pins the whole assign machinery —
+    components, star edges, isolated docs — against SQL."""
+    import ray.data as rd
+
+    from ingest_ray.functions.dedup import (
+        label_propagation_components,
+        ngram_jaccard_pairs,
+    )
+    from ingest_ray.util import hash64_str
+
+    table = pa.parquet.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    near = ngram_jaccard_pairs(docs, table, threshold=0.8).select_columns(["a", "b"])
+
+    # exact-text star edges: (doc, group min) per non-representative doc
+    from ray.data.aggregate import Min
+
+    def hash_stage(batch: pa.Table) -> pa.Table:
+        h = hash64_str([t or "" for t in batch.column("text").to_pylist()])
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "text_hash": pa.array(h.view(np.int64), pa.int64()),
+            }
+        )
+
+    hashed = docs.map_batches(hash_stage, batch_format="pyarrow", zero_copy_batch=True)
+    reps = hashed.groupby("text_hash").aggregate(Min("doc_id", alias_name="rep"))
+    member = hashed.join(
+        reps.rename_columns({"text_hash": "th"}),
+        join_type="inner",
+        num_partitions=8,
+        on=("text_hash",),
+        right_on=("th",),
+    ).materialize()
+    star = member.filter(expr="doc_id != rep").map_batches(
+        lambda t: pa.table(
+            {"a": t.column("rep").cast(pa.int64()), "b": t.column("doc_id").cast(pa.int64())}
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    labels = label_propagation_components(near.union(star))
+    joined = member.select_columns(["doc_id"]).join(
+        labels,
+        join_type="left_outer",
+        num_partitions=8,
+        on=("doc_id",),
+        right_on=("node",),
+    )
+
+    def pick(t: pa.Table) -> pa.Table:
+        doc = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        lab = t.column("label").to_numpy(zero_copy_only=False).astype(np.float64)
+        keep = np.where(np.isnan(lab), doc, np.minimum(doc, np.nan_to_num(lab, nan=2**62)))
+        return pa.table(
+            {
+                "doc_id": pa.array(doc, pa.int64()),
+                "keep_id": pa.array(keep.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return joined.map_batches(pick, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def q_lang_id_docs(sf_dir: str):
     from ingest_ray.functions.text import lang_id_batch
 
@@ -1006,6 +1079,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "span_invariant": q_span_invariant,
         "simhash_docs": q_simhash_docs,
         "simhash_pairs_docs": q_simhash_pairs_docs,
+        "jaccard_dedup_docs": q_jaccard_dedup_docs,
         "minhash_pairs_docs": q_minhash_pairs_docs,
         "minhash_dedup_docs": q_minhash_dedup_docs,
         "lang_id_docs": q_lang_id_docs,
@@ -1329,6 +1403,39 @@ def oracle_sql() -> dict[str, str]:
         "hex_cell_customers": _hex_cell_oracle_sql(),
         "lang_id_docs": _lang_id_oracle_sql(),
         "simhash_docs": _simhash_oracle_sql(),
+        "simhash_pairs_docs": f"""
+            WITH s AS ({_simhash_oracle_sql()})
+            SELECT a.doc_id AS a, b.doc_id AS b,
+                   bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+            FROM s a JOIN s b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+        """,
+        "jaccard_dedup_docs": r"""
+            WITH RECURSIVE
+            t AS (SELECT doc_id,
+                         list_distinct(string_split_regex(trim(text), '\s+')) AS words
+                  FROM documents WHERE trim(text) <> ''),
+            near AS (SELECT a.doc_id AS a, b.doc_id AS b
+                     FROM t a JOIN t b ON a.doc_id < b.doc_id
+                     WHERE len(list_intersect(a.words, b.words))::DOUBLE
+                           / len(list_distinct(list_concat(a.words, b.words))) >= 0.8),
+            exact AS (SELECT a.doc_id AS a, b.doc_id AS b
+                      FROM documents a JOIN documents b
+                      ON coalesce(a.text,'') = coalesce(b.text,'')
+                         AND a.doc_id < b.doc_id),
+            edges AS (SELECT * FROM near UNION SELECT * FROM exact),
+            sym AS (SELECT a AS u, b AS v FROM edges
+                    UNION SELECT b AS u, a AS v FROM edges),
+            reach(node, r) AS (
+                SELECT u, v FROM sym
+                UNION
+                SELECT reach.node, sym.v FROM reach JOIN sym ON sym.u = reach.r
+            )
+            SELECT d.doc_id,
+                   least(d.doc_id, coalesce(min(r.r), d.doc_id))::BIGINT AS keep_id
+            FROM documents d LEFT JOIN reach r ON r.node = d.doc_id
+            GROUP BY d.doc_id
+        """,
         "fingerprint_docs": _fingerprint_oracle_sql(),
         "knn_customers": """
             WITH pts AS (

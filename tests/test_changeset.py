@@ -211,11 +211,13 @@ def test_osm_change_xml_rounds_match_dict_rounds():
 
 
 @pytest.mark.usefixtures("ray_session")
-def test_patch_tiles_rounds_match_fresh_store(tmp_path):
+@pytest.mark.parametrize("divide", ["exact", "aggregated"])
+def test_patch_tiles_rounds_match_fresh_store(tmp_path, divide):
     """Rounds 0-3 applied to a COMMITTED tile store via
     checkpoint.patch_tiles must byte-match a fresh optimize_to_tiles of
-    the final corpus — and incremental rounds must not rewrite
-    untouched cells' tile files."""
+    the final corpus — for stores written by BOTH divide strategies —
+    and incremental rounds must not rewrite untouched cells' tile
+    files."""
     import os
 
     import ray.data as rd
@@ -229,7 +231,8 @@ def test_patch_tiles_rounds_match_fresh_store(tmp_path):
     feats = ingest_features(docs, cfg)
     current = _collect(feats)
     optimize_to_tiles(
-        rd.from_arrow(current), store, grid_divs=(4, 4), leaf_capacity=2, resume=False
+        rd.from_arrow(current), store, grid_divs=(4, 4), leaf_capacity=2,
+        resume=False, divide=divide,
     ).materialize()
 
     def tile_files(root):
@@ -263,7 +266,8 @@ def test_patch_tiles_rounds_match_fresh_store(tmp_path):
 
         fresh = str(tmp_path / f"fresh{rnd}")
         optimize_to_tiles(
-            rd.from_arrow(current), fresh, grid_divs=(4, 4), leaf_capacity=2, resume=False
+            rd.from_arrow(current), fresh, grid_divs=(4, 4), leaf_capacity=2,
+            resume=False, divide=divide,
         ).materialize()
         pf = tile_files(store)
         ff = tile_files(fresh)
