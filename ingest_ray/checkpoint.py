@@ -44,7 +44,12 @@ MANIFEST_VERSION = 1
 def _canon_type(t: pa.DataType) -> pa.DataType:
     """Canonical nested-field names ("item"): a parquet round-trip
     renames list children to "element", which would otherwise make
-    patched-store bytes differ from a fresh write of in-memory data."""
+    patched-store bytes differ from a fresh write of in-memory data.
+    Dictionary columns decay to their value type: a dictionary's value
+    ORDER depends on upstream block history, so writing it would make
+    tile bytes depend on execution order."""
+    if pa.types.is_dictionary(t):
+        return _canon_type(t.value_type)
     if pa.types.is_list(t):
         return pa.list_(_canon_type(t.value_type))
     if pa.types.is_large_list(t):

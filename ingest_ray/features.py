@@ -23,6 +23,7 @@ import numpy as np
 import pyarrow as pa
 
 from . import geom, georender, tags as tags_mod
+from .elements import DOC_ID_TYPE
 from .osm_area import relations_are_area_vec, ways_are_area_vec
 
 FEATURES_SCHEMA = pa.schema(
@@ -39,11 +40,22 @@ FEATURES_SCHEMA = pa.schema(
         pa.field("cells", pa.list_(pa.int32())),
         pa.field("labels", pa.binary()),
         pa.field("payload", pa.binary()),
-        pa.field("doc_id", pa.string()),
+        pa.field("doc_id", DOC_ID_TYPE),
         pa.field("span_idx", pa.int32()),
     ]
 )
 
+
+
+def _compact_doc(col) -> pa.Array:
+    """Re-encode a filtered/taken dictionary column: take/filter keep
+    the ancestral block's FULL dictionary, which can dwarf the
+    surviving indices (measured 34 B/row vs 4 on encode output) —
+    rebuild it over the referenced values only."""
+    import pyarrow.compute as pc
+
+    col = _combine(col)
+    return pc.dictionary_encode(col.cast(pa.string()))
 
 def _rows_to_table(rows: list[dict]) -> pa.Table:
     if not rows:
@@ -143,7 +155,7 @@ def encode_nodes_batch(batch: pa.Table) -> pa.Table:
             "cells": pa.ListArray.from_arrays(empty_offs, pa.array([], pa.int32())),
             "labels": labels_arr,
             "payload": payload,
-            "doc_id": sub.column("doc_id"),
+            "doc_id": _compact_doc(sub.column("doc_id")),
             "span_idx": sub.column("span_idx"),
         }
     ).cast(FEATURES_SCHEMA)
@@ -160,7 +172,7 @@ PREPARED_WAYS_SCHEMA = pa.schema(
         pa.field("is_area", pa.bool_()),
         pa.field("ftype", pa.uint64()),
         pa.field("labels", pa.binary()),
-        pa.field("doc_id", pa.string()),
+        pa.field("doc_id", DOC_ID_TYPE),
         pa.field("span_idx", pa.int32()),
     ]
 )
@@ -186,7 +198,7 @@ def prepare_ways_batch(batch: pa.Table) -> pa.Table:
             "is_area": pa.array(is_area_all[keep], pa.bool_()),
             "ftype": pa.array(ftypes[keep], pa.uint64()),
             "labels": pa.array([labels[i] for i in keep], pa.binary()),
-            "doc_id": sub.column("doc_id"),
+            "doc_id": _compact_doc(sub.column("doc_id")),
             "span_idx": sub.column("span_idx"),
         }
     ).cast(PREPARED_WAYS_SCHEMA)
@@ -330,7 +342,7 @@ def encode_ways_batch(batch: pa.Table) -> pa.Table:
             ),
             "labels": lab_k,
             "payload": payload,
-            "doc_id": _combine(batch.column("doc_id")).take(kept_arr),
+            "doc_id": _compact_doc(_combine(batch.column("doc_id")).take(kept_arr)),
             "span_idx": _combine(batch.column("span_idx")).take(kept_arr),
         }
     ).cast(FEATURES_SCHEMA)
@@ -402,7 +414,7 @@ PREPARED_RELATIONS_SCHEMA = pa.schema(
         ),
         pa.field("ftype", pa.uint64()),
         pa.field("labels", pa.binary()),
-        pa.field("doc_id", pa.string()),
+        pa.field("doc_id", DOC_ID_TYPE),
         pa.field("span_idx", pa.int32()),
     ]
 )
@@ -451,7 +463,7 @@ def prepare_relations_batch(batch: pa.Table) -> pa.Table:
             "members": new_members,
             "ftype": pa.array(ftypes[kept], pa.uint64()),
             "labels": pa.array([labels[i] for i in kept], pa.binary()),
-            "doc_id": _combine(batch.column("doc_id")).take(kept_arr),
+            "doc_id": _compact_doc(_combine(batch.column("doc_id")).take(kept_arr)),
             "span_idx": _combine(batch.column("span_idx")).take(kept_arr),
         }
     ).cast(PREPARED_RELATIONS_SCHEMA)

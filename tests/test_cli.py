@@ -80,6 +80,11 @@ def test_staged_ingest_resume(tmp_path):
 
     def collect(ds):
         t = pa.concat_tables(list(ds.iter_batches(batch_format="pyarrow", batch_size=1 << 20)))
+        # doc_id is dictionary-encoded in flight; decay for sort_by
+        # (Arrow can't sort dictionary columns) and for a dictionary-
+        # order-independent equality
+        i = t.schema.get_field_index("doc_id")
+        t = t.set_column(i, "doc_id", t.column("doc_id").cast(pa.string()))
         return t.sort_by([("key", "ascending"), ("doc_id", "ascending"), ("span_idx", "ascending")])
 
     first = collect(staged_ingest(docs, out, cfg))
