@@ -1033,6 +1033,61 @@ def q_ivf_ann(sf_dir: str):
     return ivf_topk(queries_ds, corpus, k=5, nlist=32, nprobe=8)
 
 
+def q_anti_join_customers(sf_dir: str):
+    """Customers with no order above 450k — distributed NOT EXISTS
+    (broadcast distinct-key plan here; the >limit plan is the
+    tagged-union groupby, property-tested equal in tests)."""
+    import pyarrow.compute as pc
+
+    from ingest_ray.functions.relational import anti_join
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]).map_batches(
+        lambda b: b.filter(pc.greater(b.column("o_totalprice"), 450000.0)),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return anti_join(cust, orders, left_key="c_custkey", right_key="o_custkey")
+
+
+def q_semi_join_customers(sf_dir: str):
+    """Customers with ≥1 order — distributed EXISTS."""
+    from ingest_ray.functions.relational import semi_join
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+    orders = _read(sf_dir, "orders", ["o_custkey"])
+    return semi_join(cust, orders, left_key="c_custkey", right_key="o_custkey")
+
+
+def q_normalize_docs(sf_dir: str):
+    from ingest_ray.functions.text import normalize_text_batch
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        normalize_text_batch, batch_format="pandas"
+    )
+
+
+def q_top_terms_docs(sf_dir: str):
+    """Each doc's top-3 terms by tf·(N−df) — integer-exact tf-idf
+    surrogate; df attach broadcast below the vocab limit."""
+    from ingest_ray.functions.terms import top_terms
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return top_terms(docs, k=3)
+
+
+def q_sample_stratified_docs(sf_dir: str):
+    """Deterministic per-language downsample: en 25%, others 60% —
+    membership is splitmix64(doc_id) vs the stratum threshold, so
+    re-runs (and the SQL twin) select the SAME rows."""
+    from ingest_ray.functions.sampling import stratified_sample
+
+    docs = _read(sf_dir, "documents", ["doc_id", "lang"])
+    return stratified_sample(
+        docs, key="doc_id", strata_col="lang", rates={"en": 0.25}, default_rate=0.6
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # relational / generic operators (SQL-oracled)
@@ -1050,6 +1105,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sliding_window_events": q_sliding_window_events,
         "topk_orders_per_cust": q_topk_orders_per_cust,
         "quality": q_quality,
+        "anti_join_customers": q_anti_join_customers,
+        "semi_join_customers": q_semi_join_customers,
+        "normalize_docs": q_normalize_docs,
+        "top_terms_docs": q_top_terms_docs,
+        "sample_stratified_docs": q_sample_stratified_docs,
         "ngram_jaccard": q_ngram_jaccard,
         "embedding_near_dup": q_embedding_near_dup,
         "ann_topk": q_ann_topk,
@@ -1257,6 +1317,39 @@ def _simhash_oracle_sql() -> str:
     """
 
 
+def _sample_stratified_oracle_sql() -> str:
+    """SQL twin of sampling.stratified_sample: splitmix64 reproduced
+    in integer SQL (each 64×64 multiply mod 2⁶⁴ decomposed into
+    32-bit halves — HUGEINT can't hold the full product), thresholds
+    imported from the SAME _threshold the Ray side uses so both
+    compare against identical integers."""
+    from ingest_ray.functions.sampling import _threshold
+
+    cut_en = int(_threshold(0.25))
+    cut_def = int(_threshold(0.6))
+    return f"""
+        WITH s0 AS (
+          SELECT doc_id, lang,
+                 CAST((CAST(doc_id AS HUGEINT) + 11400714819323198485)
+                      % 18446744073709551616 AS UBIGINT) AS z0
+          FROM documents),
+        m1 AS (SELECT doc_id, lang, xor(z0, z0 >> 30) AS a1 FROM s0),
+        s1 AS (SELECT doc_id, lang,
+                CAST(((CAST(a1 AS HUGEINT) * 484763065) % 18446744073709551616
+                 + (((CAST(a1 AS HUGEINT) % 4294967296) * 3210233709) % 4294967296)
+                   * 4294967296) % 18446744073709551616 AS UBIGINT) AS z1 FROM m1),
+        m2 AS (SELECT doc_id, lang, xor(z1, z1 >> 27) AS a2 FROM s1),
+        s2 AS (SELECT doc_id, lang,
+                CAST(((CAST(a2 AS HUGEINT) * 321982955) % 18446744073709551616
+                 + (((CAST(a2 AS HUGEINT) % 4294967296) * 2496678331) % 4294967296)
+                   * 4294967296) % 18446744073709551616 AS UBIGINT) AS z2 FROM m2),
+        hv AS (SELECT doc_id, lang, xor(z2, z2 >> 31) AS h FROM s2)
+        SELECT doc_id, lang FROM hv
+        WHERE h < CASE WHEN lang = 'en' THEN CAST({cut_en} AS UBIGINT)
+                       ELSE CAST({cut_def} AS UBIGINT) END
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "q1_lineitem": """
@@ -1365,6 +1458,37 @@ def oracle_sql() -> dict[str, str]:
                    (CASE WHEN trim(text) = '' THEN 1 ELSE 0 END)::BIGINT AS blank
             FROM documents
         """,
+        "anti_join_customers": """
+            SELECT c_custkey, c_name FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = c.c_custkey
+                                AND o.o_totalprice > 450000)
+        """,
+        "semi_join_customers": """
+            SELECT c_custkey, c_name FROM customer c
+            WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        """,
+        "normalize_docs": r"""
+            SELECT doc_id,
+                   lower(trim(regexp_replace(text, '[ \t\n\r]+', ' ', 'g'))) AS norm_text
+            FROM documents
+        """,
+        "top_terms_docs": r"""
+            WITH toks AS (
+              SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w
+              FROM documents WHERE trim(text) <> ''
+            ), words AS (SELECT doc_id, lower(w) AS term FROM toks),
+            tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM words GROUP BY 1, 2),
+            df AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM words GROUP BY 1),
+            n AS (SELECT count(*)::BIGINT AS n FROM documents)
+            SELECT doc_id, term, tf, df, rank FROM (
+              SELECT tf.doc_id, tf.term, tf.tf, df.df,
+                     row_number() OVER (PARTITION BY tf.doc_id
+                                        ORDER BY tf.tf * (n.n - df.df) DESC, tf.term ASC) AS rank
+              FROM tf JOIN df USING (term) CROSS JOIN n)
+            WHERE rank <= 3
+        """,
+        "sample_stratified_docs": _sample_stratified_oracle_sql(),
         "ngram_jaccard": """
             WITH t AS (
               SELECT doc_id,

@@ -98,6 +98,21 @@ def fingerprint_batch(df: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame({"doc_id": df["doc_id"], "fp": fp.astype("uint64")})
 
 
+def normalize_text_batch(df: pd.DataFrame) -> pd.DataFrame:
+    """doc_id, norm_text — canonical text: whitespace runs collapsed
+    to one space, trimmed, lowercased. The normalization every
+    dedup/fingerprint stage upstream of training wants first; exactly
+    ``lower(trim(regexp_replace(text, '[ \\t\\n\\r]+', ' ', 'g')))``
+    in the DuckDB oracle (explicit ASCII class so Python and RE2
+    agree)."""
+    t = df["text"].fillna("")
+    norm = t.str.replace(_WS_ASCII, " ", regex=True).str.strip().str.lower()
+    return pd.DataFrame({"doc_id": df["doc_id"], "norm_text": norm})
+
+
+_WS_ASCII = re.compile(r"[ \t\n\r]+")
+
+
 def shingles(text: str, n: int = 3) -> set[int]:
     """Word n-gram shingle hashes (for MinHash / Jaccard)."""
     words = _WS.split(text.strip()) if text.strip() else []

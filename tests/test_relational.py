@@ -1,0 +1,135 @@
+"""Semi/anti join, stratified sampling, and term-stats operators:
+distributed plans must equal their broadcast twins, and sampling must
+be a pure function of the key."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+def _mk(n_left=500, n_right=300, seed=7):
+    rng = np.random.default_rng(seed)
+    left = pa.table(
+        {
+            "k": pa.array(rng.integers(0, 400, n_left), pa.int64()),
+            "payload": pa.array(rng.integers(0, 10**6, n_left), pa.int64()),
+        }
+    )
+    right = pa.table({"rk": pa.array(rng.integers(200, 600, n_right), pa.int64())})
+    return left, right
+
+
+def _sorted_rows(ds):
+    df = ds.to_pandas()
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+@pytest.mark.parametrize("which", ["semi", "anti"])
+def test_exists_join_distributed_equals_broadcast(ray_session, which):
+    import ray.data as rd
+
+    from ingest_ray.functions.relational import anti_join, semi_join
+
+    fn = semi_join if which == "semi" else anti_join
+    left_t, right_t = _mk()
+    a = fn(
+        rd.from_arrow(left_t), rd.from_arrow(right_t), left_key="k", right_key="rk"
+    )
+    b = fn(
+        rd.from_arrow(left_t),
+        rd.from_arrow(right_t),
+        left_key="k",
+        right_key="rk",
+        broadcast_limit=0,  # force the tagged-union distributed plan
+    )
+    da, db = _sorted_rows(a), _sorted_rows(b)
+    pd.testing.assert_frame_equal(da, db)
+    # ground truth
+    in_set = np.isin(
+        left_t.column("k").to_numpy(), np.unique(right_t.column("rk").to_numpy())
+    )
+    want = int(in_set.sum()) if which == "semi" else int((~in_set).sum())
+    assert len(da) == want
+
+
+def test_exists_join_empty_right(ray_session):
+    import ray.data as rd
+
+    from ingest_ray.functions.relational import anti_join, semi_join
+
+    left_t, _ = _mk()
+    empty = pa.table({"rk": pa.array([], pa.int64())})
+    assert semi_join(
+        rd.from_arrow(left_t), rd.from_arrow(empty), left_key="k", right_key="rk"
+    ).count() == 0
+    assert anti_join(
+        rd.from_arrow(left_t), rd.from_arrow(empty), left_key="k", right_key="rk"
+    ).count() == len(left_t)
+
+
+def test_stratified_sample_deterministic_and_rated(ray_session):
+    import ray.data as rd
+
+    from ingest_ray.functions.sampling import stratified_sample
+
+    n = 20_000
+    t = pa.table(
+        {
+            "id": pa.array(np.arange(n), pa.int64()),
+            "s": pa.array(np.where(np.arange(n) % 3 == 0, "a", "b")),
+        }
+    )
+    kw = dict(key="id", strata_col="s", rates={"a": 0.25}, default_rate=0.75)
+    one = stratified_sample(rd.from_arrow(t), **kw).to_pandas()
+    two = stratified_sample(rd.from_arrow(t), **kw).to_pandas()
+    pd.testing.assert_frame_equal(
+        one.sort_values("id").reset_index(drop=True),
+        two.sort_values("id").reset_index(drop=True),
+    )
+    ra = (one["s"] == "a").sum() / (n // 3 + 1)
+    rb = (one["s"] == "b").sum() / (n - n // 3 - 1)
+    assert abs(ra - 0.25) < 0.03 and abs(rb - 0.75) < 0.03
+    # rate edges: 0 drops everything, 1 keeps everything
+    assert (
+        stratified_sample(
+            rd.from_arrow(t), key="id", strata_col="s", rates={}, default_rate=0.0
+        ).count()
+        == 0
+    )
+    assert (
+        stratified_sample(
+            rd.from_arrow(t), key="id", strata_col="s", rates={}, default_rate=1.0
+        ).count()
+        == n
+    )
+    # different salt selects a different (deterministic) subset
+    salted = stratified_sample(rd.from_arrow(t), salt=99, **kw).to_pandas()
+    assert set(salted["id"]) != set(one["id"])
+
+
+def test_top_terms_distributed_equals_broadcast(ray_session):
+    import ray.data as rd
+
+    from ingest_ray.functions.terms import top_terms
+
+    rng = np.random.default_rng(3)
+    vocab = np.array([f"w{i}" for i in range(50)])
+    texts = [
+        " ".join(rng.choice(vocab, size=rng.integers(3, 30)))
+        for _ in range(400)
+    ] + ["", "   "]
+    t = pa.table(
+        {
+            "doc_id": pa.array(np.arange(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    a = top_terms(rd.from_arrow(t), k=3)
+    b = top_terms(rd.from_arrow(t), k=3, broadcast_vocab_limit=0)
+    da, db = _sorted_rows(a), _sorted_rows(b)
+    pd.testing.assert_frame_equal(da, db)
+    # every non-blank doc has <= 3 rows, ranks 1..m
+    g = da.groupby("doc_id")["rank"].agg(["count", "min", "max"])
+    assert (g["count"] <= 3).all() and (g["min"] == 1).all()
+    assert (g["max"] == g["count"]).all()
