@@ -1088,6 +1088,15 @@ def q_sample_stratified_docs(sf_dir: str):
     )
 
 
+def q_sample_per_lang_docs(sf_dir: str):
+    """Exactly 50 docs per language, deterministically — balanced-mix
+    sampling via top-50 per stratum by splitmix64(doc_id)."""
+    from ingest_ray.functions.sampling import per_stratum_sample
+
+    docs = _read(sf_dir, "documents", ["doc_id", "lang"])
+    return per_stratum_sample(docs, strata_col="lang", key="doc_id", n=50)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # relational / generic operators (SQL-oracled)
@@ -1110,6 +1119,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "normalize_docs": q_normalize_docs,
         "top_terms_docs": q_top_terms_docs,
         "sample_stratified_docs": q_sample_stratified_docs,
+        "sample_per_lang_docs": q_sample_per_lang_docs,
         "ngram_jaccard": q_ngram_jaccard,
         "embedding_near_dup": q_embedding_near_dup,
         "ann_topk": q_ann_topk,
@@ -1317,17 +1327,12 @@ def _simhash_oracle_sql() -> str:
     """
 
 
-def _sample_stratified_oracle_sql() -> str:
-    """SQL twin of sampling.stratified_sample: splitmix64 reproduced
-    in integer SQL (each 64×64 multiply mod 2⁶⁴ decomposed into
-    32-bit halves — HUGEINT can't hold the full product), thresholds
-    imported from the SAME _threshold the Ray side uses so both
-    compare against identical integers."""
-    from ingest_ray.functions.sampling import _threshold
-
-    cut_en = int(_threshold(0.25))
-    cut_def = int(_threshold(0.6))
-    return f"""
+def _splitmix_docs_cte() -> str:
+    """CTE chain computing h = splitmix64(doc_id) over documents in
+    integer SQL — each 64×64 multiply mod 2⁶⁴ decomposed into 32-bit
+    halves (HUGEINT can't hold the full product). Shared by the
+    sampling oracles so SQL and Ray hash the SAME integers."""
+    return """
         WITH s0 AS (
           SELECT doc_id, lang,
                  CAST((CAST(doc_id AS HUGEINT) + 11400714819323198485)
@@ -1344,9 +1349,36 @@ def _sample_stratified_oracle_sql() -> str:
                  + (((CAST(a2 AS HUGEINT) % 4294967296) * 2496678331) % 4294967296)
                    * 4294967296) % 18446744073709551616 AS UBIGINT) AS z2 FROM m2),
         hv AS (SELECT doc_id, lang, xor(z2, z2 >> 31) AS h FROM s2)
+    """
+
+
+def _sample_stratified_oracle_sql() -> str:
+    """SQL twin of sampling.stratified_sample — thresholds imported
+    from the SAME _threshold the Ray side uses so both compare
+    against identical integers."""
+    from ingest_ray.functions.sampling import _threshold
+
+    cut_en = int(_threshold(0.25))
+    cut_def = int(_threshold(0.6))
+    return f"""
+        {_splitmix_docs_cte()}
         SELECT doc_id, lang FROM hv
         WHERE h < CASE WHEN lang = 'en' THEN CAST({cut_en} AS UBIGINT)
                        ELSE CAST({cut_def} AS UBIGINT) END
+    """
+
+
+def _sample_per_lang_oracle_sql() -> str:
+    """SQL twin of sampling.per_stratum_sample: top-50 per language
+    by splitmix64(doc_id) desc (bijective — no ties)."""
+    return f"""
+        {_splitmix_docs_cte()}
+        SELECT doc_id, lang FROM (
+          SELECT doc_id, lang,
+                 row_number() OVER (PARTITION BY lang
+                                    ORDER BY h DESC, doc_id DESC) AS rn
+          FROM hv)
+        WHERE rn <= 50
     """
 
 
@@ -1489,6 +1521,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE rank <= 3
         """,
         "sample_stratified_docs": _sample_stratified_oracle_sql(),
+        "sample_per_lang_docs": _sample_per_lang_oracle_sql(),
         "ngram_jaccard": """
             WITH t AS (
               SELECT doc_id,

@@ -330,6 +330,9 @@ def suite(sf_dir: str) -> dict[str, float]:
         "range_orders_lineitem",
         "sliding_window_events",
         "topk_orders_per_cust",
+        "anti_join_customers",
+        "top_terms_docs",
+        "sample_stratified_docs",
     ):
         q = E.queries()[name]
         timed(name, lambda q=q: consume(q(sf_dir)))

@@ -61,3 +61,58 @@ def stratified_sample(
         return batch.filter(pa.array(hv < cuts))
 
     return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def per_stratum_sample(
+    ds,
+    *,
+    strata_col: str,
+    key: str,
+    n: int,
+    salt: int = 0,
+    num_buckets: int = 64,
+):
+    """EXACTLY ``n`` rows per stratum (fewer if the stratum is
+    smaller) — the balanced-mix primitive for training-data curation.
+    Selection is the stratum's top-``n`` by ``splitmix64(key ^ salt)``
+    (ties impossible: splitmix64 is a bijection of the key), so
+    membership is deterministic and SQL-expressible as a
+    ``row_number() OVER (PARTITION BY stratum ORDER BY hash DESC)``
+    window.
+
+    One hash exchange: a combiner pre-prune keeps each batch's local
+    top-``n`` per stratum, bounding the shuffle at n rows per
+    (stratum, batch) — the grouped-top-k pushdown."""
+    import pandas as pd
+
+    from ..util import hash64_str
+
+    salt_u = U64(salt)
+    schema = ds.schema()
+    out_schema = pa.schema(list(zip(schema.names, schema.types)))
+
+    def _with_rank(df: pd.DataFrame) -> pd.DataFrame:
+        hv = splitmix64(df[key].to_numpy().astype(U64) ^ salt_u)
+        df = df.assign(__hv=hv)
+        df = df.sort_values([strata_col, "__hv", key], ascending=[True, False, False])
+        return df[df.groupby(strata_col, sort=False).cumcount() < n]
+
+    def prune(df: pd.DataFrame) -> pd.DataFrame:
+        kept = _with_rank(df).drop(columns="__hv")
+        bucket = (
+            splitmix64(hash64_str(kept[strata_col].astype(str).tolist()))
+            % np.uint64(num_buckets)
+        ).astype(np.int32)
+        return kept.assign(__bucket=bucket)
+
+    def rank_bucket(g: pd.DataFrame) -> pa.Table:
+        if not len(g):
+            return out_schema.empty_table()
+        out = _with_rank(g.drop(columns="__bucket")).drop(columns="__hv")
+        return pa.Table.from_pandas(out, preserve_index=False).cast(out_schema)
+
+    return (
+        ds.map_batches(prune, batch_format="pandas")
+        .groupby("__bucket")
+        .map_groups(rank_bucket, batch_format="pandas")
+    )

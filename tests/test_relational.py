@@ -108,6 +108,33 @@ def test_stratified_sample_deterministic_and_rated(ray_session):
     assert set(salted["id"]) != set(one["id"])
 
 
+def test_per_stratum_sample_exact_n_and_deterministic(ray_session):
+    import ray.data as rd
+
+    from ingest_ray.functions.sampling import per_stratum_sample
+
+    n = 5_000
+    t = pa.table(
+        {
+            "id": pa.array(np.arange(n), pa.int64()),
+            "s": pa.array([("x", "y", "z")[i % 3] for i in range(n)]),
+        }
+    )
+    one = per_stratum_sample(rd.from_arrow(t), strata_col="s", key="id", n=40).to_pandas()
+    two = per_stratum_sample(rd.from_arrow(t), strata_col="s", key="id", n=40).to_pandas()
+    pd.testing.assert_frame_equal(
+        one.sort_values(["s", "id"]).reset_index(drop=True),
+        two.sort_values(["s", "id"]).reset_index(drop=True),
+    )
+    assert one.groupby("s").size().tolist() == [40, 40, 40]
+    # a stratum smaller than n yields all its rows
+    small = pa.table(
+        {"id": pa.array([1, 2, 3], pa.int64()), "s": pa.array(["only"] * 3)}
+    )
+    got = per_stratum_sample(rd.from_arrow(small), strata_col="s", key="id", n=40)
+    assert got.count() == 3
+
+
 def test_top_terms_distributed_equals_broadcast(ray_session):
     import ray.data as rd
 
