@@ -80,9 +80,19 @@ def flagship(sf_dir: str, out_dir: str, corpus: str | None = None, join_mode: st
     # auto join mode picks the zone-map broadcast path below 250M build
     # rows and the distributed hash join beyond; --scaling measures BOTH
     # modes explicitly (see run_scaling).
+    # GRAFT_MATERIALIZE_ELEMENTS=0 runs the recompute-over-materialize
+    # variant (per-kind streaming parse, no union element table in
+    # plasma) — trades ~2x parse CPU for the element table's plasma
+    # write+read traffic; A/B knob for the memory-bound 32-CPU regime.
+    mat = os.environ.get("GRAFT_MATERIALIZE_ELEMENTS", "1") != "0"
     feats = ingest_features(
         docs,
-        EngineConfig(join_mode=join_mode, num_partitions=32, post_map=add_cell_columns),
+        EngineConfig(
+            join_mode=join_mode,
+            num_partitions=32,
+            post_map=add_cell_columns,
+            materialize_elements=mat,
+        ),
     )  # cell columns fuse into the encode branches (no extra pass)
     manifest = optimize_to_tiles(
         feats, out_dir, grid_divs=(8, 8), leaf_capacity=2048, resume=False
