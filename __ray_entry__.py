@@ -1097,6 +1097,16 @@ def q_sample_per_lang_docs(sf_dir: str):
     return per_stratum_sample(docs, strata_col="lang", key="doc_id", n=50)
 
 
+def q_pack_sequences_docs(sf_dir: str):
+    """Global token offsets + training-sequence assignment for every
+    doc — the distributed prefix-sum (range-bucket scan); oracled
+    against a SQL window cumsum."""
+    from ingest_ray.functions.packing import pack_sequences
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return pack_sequences(docs, seq_len=2048)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # relational / generic operators (SQL-oracled)
@@ -1120,6 +1130,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_terms_docs": q_top_terms_docs,
         "sample_stratified_docs": q_sample_stratified_docs,
         "sample_per_lang_docs": q_sample_per_lang_docs,
+        "pack_sequences_docs": q_pack_sequences_docs,
         "ngram_jaccard": q_ngram_jaccard,
         "embedding_near_dup": q_embedding_near_dup,
         "ann_topk": q_ann_topk,
@@ -1522,6 +1533,22 @@ def oracle_sql() -> dict[str, str]:
         """,
         "sample_stratified_docs": _sample_stratified_oracle_sql(),
         "sample_per_lang_docs": _sample_per_lang_oracle_sql(),
+        "pack_sequences_docs": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     CASE WHEN trim(text) = '' THEN 0
+                          ELSE len(string_split_regex(trim(text), '\s+')) END::BIGINT AS n_tokens
+              FROM documents),
+            s AS (
+              SELECT doc_id, n_tokens,
+                     COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS start_tok
+              FROM t)
+            SELECT doc_id, n_tokens, start_tok,
+                   (start_tok // 2048)::BIGINT AS seq_id,
+                   (start_tok % 2048)::BIGINT AS offset_in_seq
+            FROM s
+        """,
         "ngram_jaccard": """
             WITH t AS (
               SELECT doc_id,

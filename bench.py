@@ -343,6 +343,7 @@ def suite(sf_dir: str) -> dict[str, float]:
         "anti_join_customers",
         "top_terms_docs",
         "sample_stratified_docs",
+        "pack_sequences_docs",
     ):
         q = E.queries()[name]
         timed(name, lambda q=q: consume(q(sf_dir)))

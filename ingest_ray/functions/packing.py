@@ -1,0 +1,94 @@
+"""Sequence packing — the distributed prefix-sum over a document
+stream.
+
+LLM training packs documents back-to-back into fixed-length token
+sequences; each doc needs its GLOBAL token offset, i.e. an ordered
+prefix sum over the corpus — the classic scan primitive a pure
+map/groupby engine lacks. Plan (two small exchanges, fully
+distributed):
+
+1. per-batch token counts (no shuffle, token_count semantics);
+2. range-bucket by doc_id (order-preserving buckets — ids are dense
+   by contract, so equal-width ranges balance; a skewed id space
+   would want equi-depth splits from a quantile sketch);
+3. per-bucket token sums → driver exclusive scan over the ~B bucket
+   totals (B numbers, not B rows) → broadcast bases;
+4. one groupby(bucket): sort by doc_id inside the bucket, vectorized
+   cumsum + the bucket base = every doc's global start offset.
+
+Output: (doc_id, n_tokens, start_tok, seq_id, offset_in_seq) where
+seq_id = start_tok // seq_len — docs assigned to training sequences
+greedily in doc_id order, split-agnostic (a doc straddling a
+boundary starts in seq_id at offset_in_seq; the consumer slices).
+Oracled against a SQL window cumsum (integer-exact).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+OUT_SCHEMA = pa.schema(
+    [
+        pa.field("doc_id", pa.int64()),
+        pa.field("n_tokens", pa.int64()),
+        pa.field("start_tok", pa.int64()),
+        pa.field("seq_id", pa.int64()),
+        pa.field("offset_in_seq", pa.int64()),
+    ]
+)
+
+
+def pack_sequences(docs_ds, *, seq_len: int = 2048, num_buckets: int = 64):
+    """documents Dataset → per-doc global token offsets and sequence
+    assignment (doc_id order)."""
+    from .text import token_count_batch
+
+    counts = docs_ds.map_batches(token_count_batch, batch_format="pandas").materialize()
+
+    # id range for order-preserving buckets (one pass over the small
+    # (doc_id, n_tokens) table, not the corpus)
+    from ray.data.aggregate import Max, Min
+
+    agg = counts.aggregate(Min("doc_id"), Max("doc_id"))
+    lo, hi = int(agg["min(doc_id)"]), int(agg["max(doc_id)"])
+    span = max(hi - lo + 1, 1)
+
+    def _bucket_of(ids: np.ndarray) -> np.ndarray:
+        return ((ids - lo) * num_buckets // span).astype(np.int32)
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(bucket=_bucket_of(df["doc_id"].to_numpy()))
+
+    tagged = counts.map_batches(tag, batch_format="pandas").materialize()
+
+    # per-bucket totals → driver exclusive scan (num_buckets scalars)
+    from ray.data.aggregate import Sum
+
+    totals = tagged.groupby("bucket").aggregate(Sum("n_tokens", alias_name="tok")).to_pandas()
+    bases = np.zeros(num_buckets + 1, dtype=np.int64)
+    per = np.zeros(num_buckets, dtype=np.int64)
+    per[totals["bucket"].to_numpy()] = totals["tok"].to_numpy()
+    bases[1:] = np.cumsum(per)
+
+    def scan_bucket(g: pd.DataFrame) -> pa.Table:
+        if not len(g):
+            return OUT_SCHEMA.empty_table()
+        g = g.sort_values("doc_id")
+        n = g["n_tokens"].to_numpy().astype(np.int64)
+        start = int(bases[int(g["bucket"].iloc[0])]) + np.cumsum(n) - n
+        return pa.Table.from_pandas(
+            pd.DataFrame(
+                {
+                    "doc_id": g["doc_id"].to_numpy(),
+                    "n_tokens": n,
+                    "start_tok": start,
+                    "seq_id": start // seq_len,
+                    "offset_in_seq": start % seq_len,
+                }
+            ),
+            preserve_index=False,
+        ).cast(OUT_SCHEMA)
+
+    return tagged.groupby("bucket").map_groups(scan_bucket, batch_format="pandas")

@@ -135,6 +135,30 @@ def test_per_stratum_sample_exact_n_and_deterministic(ray_session):
     assert got.count() == 3
 
 
+def test_pack_sequences_prefix_invariant(ray_session):
+    import ray.data as rd
+
+    from ingest_ray.functions.packing import pack_sequences
+
+    rng = np.random.default_rng(11)
+    # skewed, non-contiguous ids across many range buckets
+    ids = np.unique(rng.integers(0, 10**7, 3000))
+    texts = [" ".join(["tok"] * int(k)) for k in rng.integers(0, 40, len(ids))]
+    t = pa.table({"doc_id": pa.array(ids, pa.int64()), "text": pa.array(texts)})
+    out = (
+        pack_sequences(rd.from_arrow(t), seq_len=128, num_buckets=16)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    n = out["n_tokens"].to_numpy()
+    start = out["start_tok"].to_numpy()
+    # exact exclusive prefix sum in doc_id order — across bucket seams
+    assert (start == np.cumsum(n) - n).all()
+    assert (out["seq_id"].to_numpy() == start // 128).all()
+    assert (out["offset_in_seq"].to_numpy() == start % 128).all()
+
+
 def test_top_terms_distributed_equals_broadcast(ray_session):
     import ray.data as rd
 
