@@ -1107,6 +1107,18 @@ def q_pack_sequences_docs(sf_dir: str):
     return pack_sequences(docs, seq_len=2048)
 
 
+def q_quantiles_orders(sf_dir: str):
+    """Exact p50/p90/p99 of order totals — iterative range-refinement
+    quantiles (histogram passes + bounded final collect); the result
+    is an actual column element, hash-equal to quantile_disc."""
+    from ingest_ray.functions.quantiles import quantiles_table
+
+    orders = _read(sf_dir, "orders", ["o_totalprice"])
+    return quantiles_table(
+        orders, col="o_totalprice", qs=(0.5, 0.9, 0.99), names=("p50", "p90", "p99")
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # relational / generic operators (SQL-oracled)
@@ -1131,6 +1143,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_stratified_docs": q_sample_stratified_docs,
         "sample_per_lang_docs": q_sample_per_lang_docs,
         "pack_sequences_docs": q_pack_sequences_docs,
+        "quantiles_orders": q_quantiles_orders,
         "ngram_jaccard": q_ngram_jaccard,
         "embedding_near_dup": q_embedding_near_dup,
         "ann_topk": q_ann_topk,
@@ -1533,6 +1546,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         "sample_stratified_docs": _sample_stratified_oracle_sql(),
         "sample_per_lang_docs": _sample_per_lang_oracle_sql(),
+        "quantiles_orders": """
+            SELECT quantile_disc(o_totalprice, 0.5) AS p50,
+                   quantile_disc(o_totalprice, 0.9) AS p90,
+                   quantile_disc(o_totalprice, 0.99) AS p99
+            FROM orders
+        """,
         "pack_sequences_docs": r"""
             WITH t AS (
               SELECT doc_id,

@@ -159,6 +159,29 @@ def test_pack_sequences_prefix_invariant(ray_session):
     assert (out["offset_in_seq"].to_numpy() == start % 128).all()
 
 
+def test_exact_quantiles_refinement(ray_session):
+    import ray.data as rd
+
+    from ingest_ray.functions.quantiles import exact_quantiles
+
+    rng = np.random.default_rng(5)
+    # lognormal + a heavy duplicated spike (one value = 30% of mass)
+    v = np.concatenate(
+        [rng.lognormal(3.0, 1.5, 70_000), np.full(30_000, 7.25)]
+    )
+    t = pa.table({"x": pa.array(v, pa.float64())})
+    qs = (0.1, 0.5, 0.9, 0.99)
+    got = exact_quantiles(
+        rd.from_arrow(t), col="x", qs=qs, num_buckets=16, collect_limit=500
+    )
+    s = np.sort(v)
+    import math
+
+    for q in qs:
+        want = s[min(max(math.ceil(q * len(v)) - 1, 0), len(v) - 1)]
+        assert got[q] == want, (q, got[q], want)
+
+
 def test_top_terms_distributed_equals_broadcast(ray_session):
     import ray.data as rd
 
