@@ -976,14 +976,15 @@ def q_jaccard_dedup_docs(sf_dir: str):
     )
 
     def pick(t: pa.Table) -> pa.Table:
-        doc = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
-        lab = t.column("label").to_numpy(zero_copy_only=False).astype(np.float64)
-        keep = np.where(np.isnan(lab), doc, np.minimum(doc, np.nan_to_num(lab, nan=2**62)))
+        # stay in int64 end-to-end: the outer join's null labels are
+        # coalesced in Arrow (a float64 round-trip would corrupt doc
+        # ids >= 2^53 at the declared corpus scale)
+        import pyarrow.compute as pc
+
+        doc = t.column("doc_id").cast(pa.int64())
+        lab = pc.coalesce(t.column("label").cast(pa.int64()), doc)
         return pa.table(
-            {
-                "doc_id": pa.array(doc, pa.int64()),
-                "keep_id": pa.array(keep.astype(np.int64), pa.int64()),
-            }
+            {"doc_id": doc, "keep_id": pc.min_element_wise(doc, lab)}
         )
 
     return joined.map_batches(pick, batch_format="pyarrow", zero_copy_batch=True)

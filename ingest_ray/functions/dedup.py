@@ -1145,8 +1145,9 @@ def label_propagation_components(edges_ds, max_iters: int = 20, num_partitions: 
         labels = jumped.map_batches(
             jump, batch_format="pyarrow", zero_copy_batch=True
         ).materialize()
+    last = locals().get("changed", "n/a (zero rounds ran)")
     raise RuntimeError(
         f"label_propagation_components did not converge in {max_iters} rounds "
-        f"(last round changed {changed} labels); component labels would be "
+        f"(last round changed {last} labels); component labels would be "
         "silently wrong — raise max_iters"
     )

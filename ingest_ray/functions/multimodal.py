@@ -58,7 +58,15 @@ def media_spans_table(docs_batch: pa.Table) -> pa.Table:
     within = np.arange(total, dtype=np.uint64) - np.repeat(starts, sizes).astype(np.uint64)
     with np.errstate(over="ignore"):
         flat = (splitmix64(h[row_of] + within) & np.uint64(0xFF)).astype(np.uint8)
-    offs = np.concatenate([np.zeros(1, dtype=np.int64), np.cumsum(sizes)]).astype(np.int32)
+    offs64 = np.concatenate([np.zeros(1, dtype=np.int64), np.cumsum(sizes)])
+    if offs64[-1] >= 2**31:
+        # from_buffers performs no validation — a wrapped int32 offset
+        # would build a structurally invalid binary column silently
+        raise ValueError(
+            f"media batch payload totals {offs64[-1]} bytes (>= 2^31); "
+            "lower the batch size so per-batch payloads fit 32-bit offsets"
+        )
+    offs = offs64.astype(np.int32)
     payload = pa.Array.from_buffers(
         pa.binary(), n, [None, pa.py_buffer(offs.tobytes()), pa.py_buffer(flat.tobytes())]
     )

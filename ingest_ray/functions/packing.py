@@ -46,6 +46,8 @@ def pack_sequences(docs_ds, *, seq_len: int = 2048, num_buckets: int = 64):
     from .text import token_count_batch
 
     counts = docs_ds.map_batches(token_count_batch, batch_format="pandas").materialize()
+    if counts.count() == 0:
+        return __import__("ray").data.from_arrow(OUT_SCHEMA.empty_table())
 
     # id range for order-preserving buckets (one pass over the small
     # (doc_id, n_tokens) table, not the corpus)

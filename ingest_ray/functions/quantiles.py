@@ -51,30 +51,48 @@ def exact_quantiles(
     state = {q: {"lo": gmin, "hi": gmax, "below": 0, "count": n} for q in qs}
     result: dict[float, float] = {}
 
-    def _finalize(q: str | float) -> None:
-        st = state.pop(q)
-        lo, hi = st["lo"], st["hi"]
-        if lo == hi:
-            result[q] = lo
+    def _finalize(ready: list) -> None:
+        """ONE shared streaming pass selects every ready quantile's
+        element (intervals tagged per value, split on the driver)."""
+        ivs = []
+        for q in ready:
+            st = state.pop(q)
+            if st["lo"] == st["hi"]:
+                result[q] = st["lo"]
+            else:
+                ivs.append((q, st["lo"], st["hi"], targets[q] - st["below"]))
+        if not ivs:
             return
-        want = targets[q] - st["below"]  # rank within the interval
 
         def grab(batch: pa.Table) -> pa.Table:
             v = batch.column(col).to_numpy(zero_copy_only=False)
-            return pa.table({col: pa.array(v[(v >= lo) & (v <= hi)])})
+            vals_parts, tag_parts = [], []
+            for i, (_, lo, hi, _w) in enumerate(ivs):
+                sel = v[(v >= lo) & (v <= hi)]
+                vals_parts.append(sel)
+                tag_parts.append(np.full(len(sel), i, dtype=np.int8))
+            return pa.table(
+                {
+                    col: pa.array(np.concatenate(vals_parts)),
+                    "qi": pa.array(np.concatenate(tag_parts), pa.int8()),
+                }
+            )
 
-        parts = [
-            b.column(col).to_numpy(zero_copy_only=False)
-            for b in vals_ds.map_batches(
-                grab, batch_format="pyarrow", zero_copy_batch=True
-            ).iter_batches(batch_format="pyarrow", batch_size=1 << 20)
-        ]
-        arr = np.sort(np.concatenate(parts))
-        result[q] = float(arr[want])
+        vp, tp = [], []
+        for b in vals_ds.map_batches(
+            grab, batch_format="pyarrow", zero_copy_batch=True
+        ).iter_batches(batch_format="pyarrow", batch_size=1 << 20):
+            vp.append(b.column(col).to_numpy(zero_copy_only=False))
+            tp.append(b.column("qi").to_numpy(zero_copy_only=False))
+        allv, allt = np.concatenate(vp), np.concatenate(tp)
+        for i, (q, _lo, _hi, want) in enumerate(ivs):
+            arr = np.sort(allv[allt == i])
+            result[q] = float(arr[want])
 
     for _ in range(max_rounds):
-        for q in [q for q, st in state.items() if st["count"] <= collect_limit or st["lo"] == st["hi"]]:
-            _finalize(q)
+        _finalize(
+            [q for q, st in state.items() if st["count"] <= collect_limit or st["lo"] == st["hi"]]
+        )
         if not state:
             break
         open_qs = sorted(state)
@@ -122,8 +140,7 @@ def exact_quantiles(
             else:
                 st["lo"], st["hi"] = new_lo, new_hi
 
-    for q in list(state):
-        _finalize(q)
+    _finalize(list(state))
     return result
 
 

@@ -28,19 +28,29 @@ import pyarrow as pa
 from ..util import splitmix64
 
 
-def _distinct_right_keys(right_ds, right_key: str) -> np.ndarray:
-    """Sorted distinct int64 key array, collected via per-batch
-    pre-dedup + driver merge (right side is small by contract here)."""
-    parts = []
+def _distinct_right_keys(right_ds, right_key: str, limit: int) -> np.ndarray | None:
+    """Sorted distinct int64 key array via per-batch pre-dedup +
+    driver merge — ONE execution of the right-side pipeline. Returns
+    None (abort) as soon as the accumulated distinct count exceeds
+    ``limit``, so an over-limit right side costs one partial scan,
+    not a full collect."""
+    parts: list[np.ndarray] = []
+    total = 0
     for b in right_ds.select_columns([right_key]).iter_batches(
         batch_size=1 << 20, batch_format="pyarrow"
     ):
-        parts.append(
-            np.unique(b.column(right_key).to_numpy(zero_copy_only=False).astype(np.int64))
-        )
+        u = np.unique(b.column(right_key).to_numpy(zero_copy_only=False).astype(np.int64))
+        parts.append(u)
+        total += len(u)
+        if total > 2 * limit:  # re-merge (dedup across batches) before judging
+            parts = [np.unique(np.concatenate(parts))]
+            total = len(parts[0])
+            if total > limit:
+                return None
     if not parts:
         return np.empty(0, dtype=np.int64)
-    return np.unique(np.concatenate(parts))
+    out = np.unique(np.concatenate(parts))
+    return out if len(out) <= limit else None
 
 
 def _member_mask(keys: np.ndarray, sorted_set: np.ndarray) -> np.ndarray:
@@ -63,13 +73,12 @@ def _exists_join(
 ):
     import ray
 
-    try:
-        n_right = right_ds.count()
-    except Exception:
-        n_right = None
+    # gate on DISTINCT right keys (what actually broadcasts), not raw
+    # row count: one streaming pass with an early abort past the limit
+    keys = _distinct_right_keys(right_ds, right_key, broadcast_limit) if broadcast_limit else None
 
-    if n_right is not None and n_right <= broadcast_limit:
-        key_ref = ray.put(_distinct_right_keys(right_ds, right_key))
+    if keys is not None:
+        key_ref = ray.put(keys)
 
         def filter_batch(batch: pa.Table) -> pa.Table:
             keys = batch.column(left_key).to_numpy(zero_copy_only=False).astype(np.int64)

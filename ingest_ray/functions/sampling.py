@@ -86,19 +86,23 @@ def per_stratum_sample(
     import pandas as pd
 
     from ..util import hash64_str
+    from .ranking import group_topk_indices
 
     salt_u = U64(salt)
     schema = ds.schema()
     out_schema = pa.schema(list(zip(schema.names, schema.types)))
 
-    def _with_rank(df: pd.DataFrame) -> pd.DataFrame:
+    def _keep_topn(df: pd.DataFrame) -> pd.DataFrame:
         hv = splitmix64(df[key].to_numpy().astype(U64) ^ salt_u)
-        df = df.assign(__hv=hv)
-        df = df.sort_values([strata_col, "__hv", key], ascending=[True, False, False])
-        return df[df.groupby(strata_col, sort=False).cumcount() < n]
+        sel, _ = group_topk_indices(
+            df[strata_col].to_numpy(),
+            [(hv, False), (df[key].to_numpy(), False)],
+            n,
+        )
+        return df.iloc[np.sort(sel)]
 
     def prune(df: pd.DataFrame) -> pd.DataFrame:
-        kept = _with_rank(df).drop(columns="__hv")
+        kept = _keep_topn(df)
         bucket = (
             splitmix64(hash64_str(kept[strata_col].astype(str).tolist()))
             % np.uint64(num_buckets)
@@ -108,7 +112,7 @@ def per_stratum_sample(
     def rank_bucket(g: pd.DataFrame) -> pa.Table:
         if not len(g):
             return out_schema.empty_table()
-        out = _with_rank(g.drop(columns="__bucket")).drop(columns="__hv")
+        out = _keep_topn(g.drop(columns="__bucket"))
         return pa.Table.from_pandas(out, preserve_index=False).cast(out_schema)
 
     return (

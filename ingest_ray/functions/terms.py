@@ -75,12 +75,16 @@ def doc_term_freq(docs_ds):
 
 
 def _rank_topk(df: pd.DataFrame, k: int) -> pd.DataFrame:
-    """Top-k rows per doc by (score desc, term asc), 1-based rank.
-    One sort + cumcount — no per-doc Python."""
-    df = df.sort_values(["doc_id", "score", "term"], ascending=[True, False, True])
-    rank = df.groupby("doc_id", sort=False).cumcount()
-    df = df.assign(rank=rank + 1)
-    return df[df["rank"] <= k]
+    """Top-k rows per doc by (score desc, term asc), 1-based rank —
+    the shared vectorized group-top-k kernel."""
+    from .ranking import group_topk_indices
+
+    sel, rank0 = group_topk_indices(
+        df["doc_id"].to_numpy(),
+        [(df["score"].to_numpy(), False), (df["term"].to_numpy(), True)],
+        k,
+    )
+    return df.iloc[sel].assign(rank=rank0 + 1)
 
 
 def top_terms(
@@ -98,7 +102,10 @@ def top_terms(
     n_docs = docs_ds.count()
     tf_ds = doc_term_freq(docs_ds).materialize()  # consumed twice: df build + attach
 
-    df_ds = tf_ds.groupby("term").count()  # (term, count()) — distinct docs per term
+    # (term, count()) — distinct docs per term; materialized so the
+    # vocabulary shuffle runs ONCE (count() + the attach below would
+    # otherwise each re-execute it)
+    df_ds = tf_ds.groupby("term").count().materialize()
 
     def _attach_arrays(batch: pd.DataFrame, terms: np.ndarray, dfs: np.ndarray) -> pd.DataFrame:
         pos = np.searchsorted(terms, batch["term"].to_numpy())
