@@ -344,6 +344,7 @@ def suite(sf_dir: str) -> dict[str, float]:
         "top_terms_docs",
         "sample_stratified_docs",
         "pack_sequences_docs",
+        "quantiles_orders",
     ):
         q = E.queries()[name]
         timed(name, lambda q=q: consume(q(sf_dir)))
