@@ -32,7 +32,12 @@ def exact_quantiles(
     max_rounds: int = 64,
 ):
     """Returns {q: value} with value = the column's element at rank
-    ceil(q·n)−1 (DuckDB quantile_disc semantics)."""
+    ceil(q·n)−1 (DuckDB quantile_disc semantics).
+
+    Interval edges are float64, so column values must be exactly
+    float64-representable (doubles, or integers with |v| < 2⁵³) for
+    the bucket-boundary comparisons to be exact — int64 key columns
+    beyond 2⁵³ would need an integer-edge variant."""
     vals_ds = ds.select_columns([col]).materialize()
     n = vals_ds.count()
     if n == 0:

@@ -182,6 +182,34 @@ def test_exact_quantiles_refinement(ray_session):
         assert got[q] == want, (q, got[q], want)
 
 
+def test_pack_sequences_empty_corpus(ray_session):
+    import ray.data as rd
+
+    from ingest_ray.functions.packing import OUT_SCHEMA, pack_sequences
+
+    empty = pa.table({"doc_id": pa.array([], pa.int64()), "text": pa.array([], pa.string())})
+    out = pack_sequences(rd.from_arrow(empty))
+    assert out.count() == 0 and out.schema().names == OUT_SCHEMA.names
+
+
+def test_group_topk_indices_kernel():
+    from ingest_ray.functions.ranking import group_topk_indices
+
+    group = np.array(["b", "a", "a", "b", "a"])
+    hv = np.array([5, 9, 7, 1, 8], dtype=np.uint64)
+    tie = np.array([10, 20, 30, 40, 50], dtype=np.int64)
+    sel, rank0 = group_topk_indices(group, [(hv, False), (tie, False)], 2)
+    # group a: hv 9 (idx1), 8 (idx4); group b: 5 (idx0), 1 (idx3)
+    got = {(g, int(h), int(r)) for g, h, r in zip(group[sel], hv[sel], rank0)}
+    assert got == {("a", 9, 0), ("a", 8, 1), ("b", 5, 0), ("b", 1, 1)}
+    # string ascending order inside groups
+    words = np.array(["m", "z", "a", "z", "a"])
+    sel2, r2 = group_topk_indices(
+        np.array([1, 1, 1, 2, 2], dtype=np.int64), [(words, True)], 1
+    )
+    assert list(words[sel2]) == ["a", "a"] and list(r2) == [0, 0]
+
+
 def test_top_terms_distributed_equals_broadcast(ray_session):
     import ray.data as rd
 
