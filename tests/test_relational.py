@@ -210,6 +210,36 @@ def test_group_topk_indices_kernel():
     assert list(words[sel2]) == ["a", "a"] and list(r2) == [0, 0]
 
 
+def test_group_topk_indices_matches_pandas_reference():
+    from ingest_ray.functions.ranking import group_topk_indices
+
+    rng = np.random.default_rng(17)
+    for trial in range(25):
+        n = int(rng.integers(1, 400))
+        k = int(rng.integers(1, 5))
+        g = rng.choice([f"g{i}" for i in range(6)], n)
+        a = rng.integers(0, 8, n).astype(np.uint64)  # heavy ties
+        b = rng.choice(list("xyzw"), n)
+        df = pd.DataFrame({"g": g, "a": a, "b": b, "i": np.arange(n)})
+        sel, rank0 = group_topk_indices(g, [(a, False), (b, True)], k)
+        got = (
+            pd.DataFrame({"g": g[sel], "a": a[sel], "b": b[sel], "rank": rank0})
+            .sort_values(["g", "rank"])
+            .reset_index(drop=True)
+        )
+        want = (
+            df.sort_values(["g", "a", "b"], ascending=[True, False, True])
+            .groupby("g", sort=True)
+            .head(k)
+            .assign(rank=lambda d: d.groupby("g", sort=False).cumcount())
+            .drop(columns="i")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(
+            got[["g", "a", "b", "rank"]], want[["g", "a", "b", "rank"]]
+        )
+
+
 def test_top_terms_distributed_equals_broadcast(ray_session):
     import ray.data as rd
 
