@@ -58,7 +58,13 @@ def pack_sequences(docs_ds, *, seq_len: int = 2048, num_buckets: int = 64):
     span = max(hi - lo + 1, 1)
 
     def _bucket_of(ids: np.ndarray) -> np.ndarray:
-        return ((ids - lo) * num_buckets // span).astype(np.int32)
+        if span <= 2**62 // num_buckets:
+            return ((ids - lo) * num_buckets // span).astype(np.int32)
+        # extreme id spans would wrap the int64 multiply (breaking
+        # bucket monotonicity → wrong prefix order); float division is
+        # monotone, and bucket boundaries only need monotonicity
+        b = ((ids - lo).astype(np.float64) * num_buckets / span).astype(np.int64)
+        return np.clip(b, 0, num_buckets - 1).astype(np.int32)
 
     def tag(df: pd.DataFrame) -> pd.DataFrame:
         return df.assign(bucket=_bucket_of(df["doc_id"].to_numpy()))

@@ -210,6 +210,25 @@ def test_group_topk_indices_kernel():
     assert list(words[sel2]) == ["a", "a"] and list(r2) == [0, 0]
 
 
+def test_pack_sequences_extreme_id_span(ray_session):
+    import ray.data as rd
+
+    from ingest_ray.functions.packing import pack_sequences
+
+    # id span near int64 max — the int64 bucket multiply would wrap
+    ids = np.array([0, 3, 2**62, 2**63 - 10], dtype=np.int64)
+    texts = ["a b c", "d", "e f", "g h i j"]
+    t = pa.table({"doc_id": pa.array(ids, pa.int64()), "text": pa.array(texts)})
+    out = (
+        pack_sequences(rd.from_arrow(t), seq_len=4, num_buckets=8)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    n = out["n_tokens"].to_numpy()
+    assert (out["start_tok"].to_numpy() == np.cumsum(n) - n).all()
+
+
 def test_group_topk_indices_matches_pandas_reference():
     from ingest_ray.functions.ranking import group_topk_indices
 
