@@ -399,14 +399,14 @@ def minhash_dedup_assign(
             )
 
             def pick(t: pa.Table) -> pa.Table:
-                rep = t.column("rep").to_numpy(zero_copy_only=False)
-                lab = t.column("label").to_numpy(zero_copy_only=False)
-                keep = np.where(np.isnan(lab.astype(np.float64)), rep, lab).astype(np.int64)
+                # coalesce nulls in Arrow int64 — a float64 round-trip
+                # would corrupt ids >= 2^53 at the declared corpus scale
+                import pyarrow.compute as pc
+
+                rep = t.column("rep").cast(pa.int64())
+                lab = pc.coalesce(t.column("label").cast(pa.int64()), rep)
                 return pa.table(
-                    {
-                        "doc_id": t.column("doc_id").cast(pa.int64()),
-                        "keep_id": pa.array(keep, pa.int64()),
-                    }
+                    {"doc_id": t.column("doc_id").cast(pa.int64()), "keep_id": lab}
                 )
 
             return joined.map_batches(pick, batch_format="pyarrow", zero_copy_batch=True)
