@@ -1060,6 +1060,100 @@ def q_semi_join_customers(sf_dir: str):
     return semi_join(cust, orders, left_key="c_custkey", right_key="o_custkey")
 
 
+def q_semi_join_bloom_customers(sf_dir: str):
+    """Same EXISTS, via the Bloom pre-filter + exact verify — the
+    planet-scale left-side plan (the filter is fixed-size bits however
+    large the build side; false positives die in the verify pass).
+    Forced through the distributed verify plan so the whole path is
+    exchange-based."""
+    from ingest_ray.functions.relational import semi_join_bloom
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+    orders = _read(sf_dir, "orders", ["o_custkey"])
+    return semi_join_bloom(
+        cust,
+        orders,
+        left_key="c_custkey",
+        right_key="o_custkey",
+        num_bits=1 << 20,
+        broadcast_limit=0,
+    )
+
+
+def _cust_pts(k: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Key-derived coordinates shared by the geo oracle twins — integer
+    arithmetic then one division, so numpy and DuckDB produce the SAME
+    float64s bit for bit."""
+    return (k * 9973 % 36000) / 100.0 - 180.0, (k * 9949 % 18000) / 100.0 - 90.0
+
+
+def q_radius_customers(sf_dir: str):
+    """Within-radius distance join over key-derived customer points
+    (queries = c_custkey ≤ 20, corpus = all customers, r = 12.0) — the
+    DuckDB-oracled twin of the grid-partitioned radius join. Both
+    sides stream; each pair meets in exactly one grid cell."""
+    import pyarrow.compute as pc
+
+    from ingest_ray.spatial import radius_join
+
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+
+    def pts_side(b: pa.Table) -> pa.Table:
+        k = b.column("c_custkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        x, y = _cust_pts(k)
+        return pa.table(
+            {
+                "id": pa.array(k, pa.int64()),
+                "lon": pa.array(x, pa.float64()),
+                "lat": pa.array(y, pa.float64()),
+            }
+        )
+
+    points = cust.map_batches(pts_side, batch_format="pyarrow", zero_copy_batch=True)
+    queries = cust.map_batches(
+        lambda b: pts_side(b.filter(pc.less_equal(b.column("c_custkey"), 20))).rename_columns(
+            ["qid", "lon", "lat"]
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return radius_join(points, queries, 12.0)
+
+
+def q_bbox_join_customers(sf_dir: str):
+    """Rectangle-intersection join over key-derived customer boxes
+    (left = c_custkey ≤ 200, right = all) — the DuckDB-oracled twin of
+    the PBSM bbox-overlap join with reference-point dedup."""
+    import pyarrow.compute as pc
+
+    from ingest_ray.spatial import bbox_overlap_join
+
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+
+    def rect_side(b: pa.Table) -> pa.Table:
+        k = b.column("c_custkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        cx, cy = _cust_pts(k)
+        hw = (k * 31 % 97) / 10.0 + 0.05
+        hh = (k * 57 % 89) / 10.0 + 0.05
+        return pa.table(
+            {
+                "key": pa.array(k, pa.int64()),
+                "minx": pa.array(cx - hw, pa.float64()),
+                "miny": pa.array(cy - hh, pa.float64()),
+                "maxx": pa.array(cx + hw, pa.float64()),
+                "maxy": pa.array(cy + hh, pa.float64()),
+            }
+        )
+
+    right = cust.map_batches(rect_side, batch_format="pyarrow", zero_copy_batch=True)
+    left = cust.map_batches(
+        lambda b: rect_side(b.filter(pc.less_equal(b.column("c_custkey"), 200))),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return bbox_overlap_join(left, right, cell=16.0)
+
+
 def q_normalize_docs(sf_dir: str):
     from ingest_ray.functions.text import normalize_text_batch
 
@@ -1139,6 +1233,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality": q_quality,
         "anti_join_customers": q_anti_join_customers,
         "semi_join_customers": q_semi_join_customers,
+        "semi_join_bloom_customers": q_semi_join_bloom_customers,
+        "radius_customers": q_radius_customers,
+        "bbox_join_customers": q_bbox_join_customers,
         "normalize_docs": q_normalize_docs,
         "top_terms_docs": q_top_terms_docs,
         "sample_stratified_docs": q_sample_stratified_docs,
@@ -1524,6 +1621,38 @@ def oracle_sql() -> dict[str, str]:
         "semi_join_customers": """
             SELECT c_custkey, c_name FROM customer c
             WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        """,
+        "semi_join_bloom_customers": """
+            SELECT c_custkey, c_name FROM customer c
+            WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        """,
+        "radius_customers": """
+            WITH pts AS (
+              SELECT c_custkey AS id,
+                     (c_custkey * 9973 % 36000) / 100.0 - 180.0 AS px,
+                     (c_custkey * 9949 % 18000) / 100.0 - 90.0 AS py
+              FROM customer),
+            q AS (SELECT * FROM pts WHERE id <= 20)
+            SELECT q.id AS qid, p.id AS id,
+                   (q.px - p.px) * (q.px - p.px) + (q.py - p.py) * (q.py - p.py) AS d2
+            FROM q, pts p
+            WHERE (q.px - p.px) * (q.px - p.px) + (q.py - p.py) * (q.py - p.py) <= 144.0
+        """,
+        "bbox_join_customers": """
+            WITH c AS (
+              SELECT c_custkey AS key,
+                     (c_custkey * 9973 % 36000) / 100.0 - 180.0 AS cx,
+                     (c_custkey * 9949 % 18000) / 100.0 - 90.0 AS cy,
+                     (c_custkey * 31 % 97) / 10.0 + 0.05 AS hw,
+                     (c_custkey * 57 % 89) / 10.0 + 0.05 AS hh
+              FROM customer),
+            b AS (SELECT key, cx - hw AS minx, cy - hh AS miny,
+                         cx + hw AS maxx, cy + hh AS maxy FROM c)
+            SELECT l.key AS l_key, r.key AS r_key
+            FROM b l, b r
+            WHERE l.key <= 200
+              AND l.minx <= r.maxx AND r.minx <= l.maxx
+              AND l.miny <= r.maxy AND r.miny <= l.maxy
         """,
         "normalize_docs": r"""
             SELECT doc_id,

@@ -162,3 +162,146 @@ def anti_join(left_ds, right_ds, *, left_key: str, right_key: str, **kw):
     return _exists_join(
         left_ds, right_ds, left_key=left_key, right_key=right_key, keep_if_exists=False, **kw
     )
+
+
+# --------------------------------------------------------------------------
+# bloom-filter pre-filtered variants — the 100 TB left-side path
+# --------------------------------------------------------------------------
+
+
+def _bloom_params(num_bits: int, num_hashes: int) -> tuple[int, int]:
+    nb = 1 << int(num_bits).bit_length() - 1 if num_bits & (num_bits - 1) else num_bits
+    return int(nb), int(num_hashes)
+
+
+def _bloom_positions(keys: np.ndarray, num_bits: int, num_hashes: int) -> np.ndarray:
+    """k hash positions per key via iterated splitmix64 (shape n×k)."""
+    h = keys.astype(np.uint64)
+    out = np.empty((len(keys), num_hashes), dtype=np.int64)
+    for i in range(num_hashes):
+        h = splitmix64(h)
+        out[:, i] = (h % np.uint64(num_bits)).astype(np.int64)
+    return out
+
+
+def build_bloom(right_ds, right_key: str, *, num_bits: int = 1 << 24, num_hashes: int = 4,
+                num_reduce_buckets: int = 32):
+    """Distributed Bloom filter over ``right_key``: per-batch partial
+    bit arrays → one small groupby OR-reduce (≤ ``num_reduce_buckets``
+    rows of ``num_bits/8`` bytes reach the driver — the reduce never
+    scales with the corpus). Returns the bit array (uint8)."""
+    nb, k = _bloom_params(num_bits, num_hashes)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keys = np.unique(
+            batch.column(right_key).to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        bits = np.zeros(nb >> 3, dtype=np.uint8)
+        if len(keys):
+            pos = _bloom_positions(keys, nb, k).ravel()
+            np.bitwise_or.at(bits, pos >> 3, np.uint8(1) << (pos & 7).astype(np.uint8))
+        bk = int(splitmix64(np.uint64(len(keys) and int(keys[0]) or 0)) % num_reduce_buckets)
+        return pa.table(
+            {
+                "bucket": pa.array([bk], pa.int32()),
+                "bits": pa.array([bits.tobytes()], pa.binary()),
+            }
+        )
+
+    def or_group(t: pa.Table) -> pa.Table:
+        acc = np.zeros(nb >> 3, dtype=np.uint8)
+        for chunk in t.column("bits").to_pylist():
+            acc |= np.frombuffer(chunk, dtype=np.uint8)
+        return pa.table(
+            {
+                "bucket": pa.array([int(t.column("bucket")[0].as_py())], pa.int32()),
+                "bits": pa.array([acc.tobytes()], pa.binary()),
+            }
+        )
+
+    reduced = (
+        right_ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(or_group, batch_format="pyarrow")
+    )
+    acc = np.zeros(nb >> 3, dtype=np.uint8)
+    for b in reduced.iter_batches(batch_size=None, batch_format="pyarrow"):
+        for chunk in b.column("bits").to_pylist():
+            acc |= np.frombuffer(chunk, dtype=np.uint8)
+    return acc
+
+
+def _bloom_maybe_mask(keys: np.ndarray, bits: np.ndarray, num_bits: int, num_hashes: int) -> np.ndarray:
+    """True where the key MIGHT be in the set (no false negatives)."""
+    maybe = np.ones(len(keys), dtype=bool)
+    h = keys.astype(np.uint64)
+    for _ in range(num_hashes):
+        h = splitmix64(h)
+        pos = (h % np.uint64(num_bits)).astype(np.int64)
+        maybe &= (bits[pos >> 3] >> (pos & 7).astype(np.uint8)) & 1 > 0
+    return maybe
+
+
+def semi_join_bloom(
+    left_ds,
+    right_ds,
+    *,
+    left_key: str,
+    right_key: str,
+    num_bits: int = 1 << 24,
+    num_hashes: int = 4,
+    **kw,
+):
+    """EXACT semi join with a Bloom pre-filter: the left side is cut to
+    bloom-maybe rows BEFORE the exchange, then the exact
+    :func:`semi_join` verifies the survivors (false positives die
+    there; false negatives are impossible). At planet scale this is
+    the difference between shuffling the whole left table and shuffling
+    ~``|match| + fp·|left|`` rows — the filter itself is ``num_bits``
+    BITS however large the right side grows. Property-tested equal to
+    :func:`semi_join`."""
+    import ray
+
+    nb, k = _bloom_params(num_bits, num_hashes)
+    bits_ref = ray.put(build_bloom(right_ds, right_key, num_bits=nb, num_hashes=k))
+
+    def prefilter(batch: pa.Table) -> pa.Table:
+        keys = batch.column(left_key).to_numpy(zero_copy_only=False).astype(np.int64)
+        return batch.filter(pa.array(_bloom_maybe_mask(keys, ray.get(bits_ref), nb, k)))
+
+    maybe = left_ds.map_batches(prefilter, batch_format="pyarrow", zero_copy_batch=True)
+    return semi_join(maybe, right_ds, left_key=left_key, right_key=right_key, **kw)
+
+
+def anti_join_bloom(
+    left_ds,
+    right_ds,
+    *,
+    left_key: str,
+    right_key: str,
+    num_bits: int = 1 << 24,
+    num_hashes: int = 4,
+    **kw,
+):
+    """EXACT anti join with a Bloom short-circuit: bloom-negative left
+    rows are DEFINITE non-members and pass straight through (zero
+    exchange); only bloom-maybe rows ride the exact :func:`anti_join`
+    to kill false positives. Property-tested equal to
+    :func:`anti_join`."""
+    import ray
+
+    nb, k = _bloom_params(num_bits, num_hashes)
+    bits_ref = ray.put(build_bloom(right_ds, right_key, num_bits=nb, num_hashes=k))
+
+    def split(keep_maybe: bool):
+        def fn(batch: pa.Table) -> pa.Table:
+            keys = batch.column(left_key).to_numpy(zero_copy_only=False).astype(np.int64)
+            m = _bloom_maybe_mask(keys, ray.get(bits_ref), nb, k)
+            return batch.filter(pa.array(m if keep_maybe else ~m))
+
+        return fn
+
+    definite = left_ds.map_batches(split(False), batch_format="pyarrow", zero_copy_batch=True)
+    maybe = left_ds.map_batches(split(True), batch_format="pyarrow", zero_copy_batch=True)
+    verified = anti_join(maybe, right_ds, left_key=left_key, right_key=right_key, **kw)
+    return definite.union(verified)

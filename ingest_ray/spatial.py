@@ -924,3 +924,463 @@ def raster_vector_join(features_ds, chips_table: pa.Table, res: int = 7):
         )
 
     return features_ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# --------------------------------------------------------------------------
+# within-radius distance join (grid-partitioned)
+# --------------------------------------------------------------------------
+
+
+_CELL_I32 = 2**31
+
+
+def _grid_idx(v: np.ndarray, cell: float) -> np.ndarray:
+    return np.floor(v / cell).astype(np.int64)
+
+
+def _pack_cell(cx: np.ndarray, cy: np.ndarray) -> np.ndarray:
+    """Bijective (cx, cy) → uint64 for int32-range indices (guarded at
+    the explode stages — a packed key past 2³¹ would alias silently,
+    the same failure mode the dedup pair keys were widened for)."""
+    m = np.uint64(0xFFFFFFFF)
+    return ((cx.astype(np.uint64) & m) << np.uint64(32)) | (cy.astype(np.uint64) & m)
+
+
+def _guard_i32(cx: np.ndarray, cy: np.ndarray, what: str) -> None:
+    if len(cx) and (
+        int(np.abs(cx).max()) >= _CELL_I32 or int(np.abs(cy).max()) >= _CELL_I32
+    ):
+        raise ValueError(
+            f"{what}: grid cell indices exceed int32 — the cell size is too "
+            "small relative to the coordinate extent for the packed cell key"
+        )
+
+
+def _range_expand(lo: np.ndarray, hi: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized expansion of per-row index ranges [lo, hi) →
+    (row_of_each_output, flat_index_into_sorted_side)."""
+    counts = hi - lo
+    total = int(counts.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+    rows = np.repeat(np.arange(len(lo), dtype=np.int64), counts)
+    run_start = np.cumsum(counts) - counts
+    within = np.arange(total, dtype=np.int64) - np.repeat(run_start, counts)
+    return rows, np.repeat(lo, counts) + within
+
+
+def radius_join(
+    points_ds,
+    queries_ds,
+    radius: float,
+    *,
+    point_key: str = "id",
+    query_key: str = "qid",
+    x_col: str = "lon",
+    y_col: str = "lat",
+    num_buckets: int = 64,
+):
+    """All (query, point) pairs within Euclidean ``radius`` (closed
+    ball, coordinate units) — BOTH sides are Datasets; nothing is
+    broadcast or driver-materialized.
+
+    Plan: grid cell size = ``radius``. A point routes to the bucket of
+    its own cell (ONE row); a query replicates to its 3×3 cell halo
+    (nine rows). Any in-radius pair has the point's cell inside the
+    query's halo, and a point lives in exactly one cell, so every pair
+    meets in EXACTLY one (cell, bucket) — exactly-once output with no
+    dedup shuffle. Within a bucket, pairing is per exact cell: one
+    argsort of the point rows by packed cell key + a searchsorted
+    range expansion per query row; the exact distance test then prunes
+    halo candidates. Replication cost: 9 rows/query, 1 row/point.
+
+    The reference resolves its geo lookups through a bbox interval
+    tree (eyros, /root/reference/src/lib.rs:24-27); this is the same
+    candidate-pruning idea expressed as a shuffle key.
+    """
+    from .util import splitmix64
+
+    r2 = float(radius) * float(radius)
+    WIRE = pa.schema(
+        [
+            pa.field("bucket", pa.int32()),
+            pa.field("cx", pa.int64()),
+            pa.field("cy", pa.int64()),
+            pa.field("side", pa.int8()),
+            pa.field("key", pa.int64()),
+            pa.field("x", pa.float64()),
+            pa.field("y", pa.float64()),
+        ]
+    )
+    OUT = pa.schema(
+        [
+            pa.field(query_key, pa.int64()),
+            pa.field(point_key, pa.int64()),
+            pa.field("d2", pa.float64()),
+        ]
+    )
+
+    def point_side(batch: pa.Table) -> pa.Table:
+        x = batch.column(x_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        y = batch.column(y_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        cx, cy = _grid_idx(x, radius), _grid_idx(y, radius)
+        _guard_i32(cx, cy, "radius_join")
+        bk = (splitmix64(_pack_cell(cx, cy)) % np.uint64(num_buckets)).astype(np.int32)
+        return pa.table(
+            {
+                "bucket": pa.array(bk, pa.int32()),
+                "cx": pa.array(cx, pa.int64()),
+                "cy": pa.array(cy, pa.int64()),
+                "side": pa.array(np.zeros(len(x), dtype=np.int8), pa.int8()),
+                "key": batch.column(point_key).cast(pa.int64()),
+                "x": pa.array(x, pa.float64()),
+                "y": pa.array(y, pa.float64()),
+            }
+        ).cast(WIRE)
+
+    def query_side(batch: pa.Table) -> pa.Table:
+        x = batch.column(x_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        y = batch.column(y_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        k = batch.column(query_key).to_numpy(zero_copy_only=False).astype(np.int64)
+        cx, cy = _grid_idx(x, radius), _grid_idx(y, radius)
+        _guard_i32(cx, cy, "radius_join")
+        n = len(x)
+        rep = np.repeat(np.arange(n, dtype=np.int64), 9)
+        dxy = np.arange(9, dtype=np.int64)
+        hx = np.tile(dxy // 3 - 1, n)
+        hy = np.tile(dxy % 3 - 1, n)
+        hcx, hcy = cx[rep] + hx, cy[rep] + hy
+        bk = (splitmix64(_pack_cell(hcx, hcy)) % np.uint64(num_buckets)).astype(np.int32)
+        return pa.table(
+            {
+                "bucket": pa.array(bk, pa.int32()),
+                "cx": pa.array(hcx, pa.int64()),
+                "cy": pa.array(hcy, pa.int64()),
+                "side": pa.array(np.ones(len(rep), dtype=np.int8), pa.int8()),
+                "key": pa.array(k[rep], pa.int64()),
+                "x": pa.array(x[rep], pa.float64()),
+                "y": pa.array(y[rep], pa.float64()),
+            }
+        ).cast(WIRE)
+
+    pts = points_ds.map_batches(point_side, batch_format="pyarrow", zero_copy_batch=True)
+    qs = queries_ds.map_batches(query_side, batch_format="pyarrow", zero_copy_batch=True)
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        side = t.column("side").to_numpy(zero_copy_only=False)
+        is_pt = side == 0
+        if not is_pt.any() or is_pt.all():
+            return OUT.empty_table()
+        cx = t.column("cx").to_numpy(zero_copy_only=False)
+        cy = t.column("cy").to_numpy(zero_copy_only=False)
+        key = t.column("key").to_numpy(zero_copy_only=False)
+        x = t.column("x").to_numpy(zero_copy_only=False)
+        y = t.column("y").to_numpy(zero_copy_only=False)
+        pk = _pack_cell(cx, cy)
+        p_rows = np.flatnonzero(is_pt)
+        q_rows = np.flatnonzero(~is_pt)
+        order = p_rows[np.argsort(pk[p_rows], kind="stable")]
+        pks = pk[order]
+        lo = np.searchsorted(pks, pk[q_rows], side="left")
+        hi = np.searchsorted(pks, pk[q_rows], side="right")
+        qi, flat = _range_expand(lo, hi)
+        if len(qi) == 0:
+            return OUT.empty_table()
+        qr = q_rows[qi]
+        pr = order[flat]
+        dx = x[qr] - x[pr]
+        dy = y[qr] - y[pr]
+        d2 = dx * dx + dy * dy
+        keep = d2 <= r2
+        return pa.table(
+            {
+                query_key: pa.array(key[qr][keep], pa.int64()),
+                point_key: pa.array(key[pr][keep], pa.int64()),
+                "d2": pa.array(d2[keep], pa.float64()),
+            }
+        ).cast(OUT)
+
+    return pts.union(qs).groupby("bucket").map_groups(per_bucket, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------
+# bbox-overlap (rectangle intersection) join — PBSM with reference-point
+# dedup
+# --------------------------------------------------------------------------
+
+
+def bbox_overlap_join_broadcast(
+    left_ds,
+    right_table: pa.Table,
+    *,
+    left_key: str = "key",
+    right_key: str = "key",
+    chunk: int = 4096,
+):
+    """left rectangles Dataset ⋈ right rectangle Table on closed-edge
+    bbox intersection → (l_key, r_key). Broadcast strategy: the right
+    table ships once via the object store; each left batch runs a
+    chunked vectorized interval-overlap kernel (the reference's
+    interval-overlap test, /root/reference/src/divide.rs:74-99, lifted
+    to a join predicate). Partitioning assumption: the right side fits
+    one worker — the scale path is :func:`bbox_overlap_join`
+    (property-tested equal)."""
+    r_ref = ray.put(
+        (
+            right_table.column(right_key).to_numpy(zero_copy_only=False).astype(np.int64),
+            right_table.column("minx").to_numpy(zero_copy_only=False).astype(np.float64),
+            right_table.column("miny").to_numpy(zero_copy_only=False).astype(np.float64),
+            right_table.column("maxx").to_numpy(zero_copy_only=False).astype(np.float64),
+            right_table.column("maxy").to_numpy(zero_copy_only=False).astype(np.float64),
+        )
+    )
+    OUT = pa.schema([pa.field("l_key", pa.int64()), pa.field("r_key", pa.int64())])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        rk, rminx, rminy, rmaxx, rmaxy = ray.get(r_ref)
+        lk = batch.column(left_key).to_numpy(zero_copy_only=False).astype(np.int64)
+        lminx = batch.column("minx").to_numpy(zero_copy_only=False).astype(np.float64)
+        lminy = batch.column("miny").to_numpy(zero_copy_only=False).astype(np.float64)
+        lmaxx = batch.column("maxx").to_numpy(zero_copy_only=False).astype(np.float64)
+        lmaxy = batch.column("maxy").to_numpy(zero_copy_only=False).astype(np.float64)
+        out_l, out_r = [], []
+        for s in range(0, len(lk), chunk):
+            e = min(s + chunk, len(lk))
+            hit = (
+                (lminx[s:e, None] <= rmaxx[None, :])
+                & (rminx[None, :] <= lmaxx[s:e, None])
+                & (lminy[s:e, None] <= rmaxy[None, :])
+                & (rminy[None, :] <= lmaxy[s:e, None])
+            )
+            li, ri = np.nonzero(hit)
+            out_l.append(lk[s:e][li])
+            out_r.append(rk[ri])
+        l = np.concatenate(out_l) if out_l else np.empty(0, dtype=np.int64)
+        r = np.concatenate(out_r) if out_r else np.empty(0, dtype=np.int64)
+        return pa.table({"l_key": pa.array(l, pa.int64()), "r_key": pa.array(r, pa.int64())}).cast(OUT)
+
+    return left_ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def bbox_overlap_join(
+    left_ds,
+    right_ds,
+    *,
+    cell: float,
+    left_key: str = "key",
+    right_key: str = "key",
+    num_buckets: int = 64,
+    cover_cap: int = 4096,
+):
+    """Distributed rectangle-intersection join → (l_key, r_key), every
+    intersecting pair exactly once — BOTH sides Datasets, one shuffle,
+    no driver materialization at ANY rectangle size (PBSM with
+    reference-point dedup; see Patel & DeWitt, SIGMOD'96).
+
+    Plan: each rectangle explodes to the grid cells (size ``cell``) its
+    bbox covers and routes to ``hash(cell) % num_buckets``; candidate
+    pairs form per exact cell inside each bucket (argsort + searchsorted
+    range expansion, zero per-pair Python). A pair may share many cover
+    cells, so each candidate is kept only in its REFERENCE-POINT cell —
+    the cell containing (max(l.minx, r.minx), max(l.miny, r.miny)),
+    a point inside the intersection, hence inside exactly one shared
+    cell — which makes the output exactly-once by construction, with no
+    dedup shuffle.
+
+    Skew/scale guard: a rectangle whose cover exceeds ``cover_cap``
+    cells skips cover enumeration and routes to EVERY bucket (≤
+    ``num_buckets`` rows — a world-spanning rectangle costs 64 rows,
+    not 10⁶). Big×normal candidates are tested against the normal
+    side's exploded cells under the same reference-point rule;
+    big×big pairs are claimed by the single bucket that owns the
+    pair's reference-point cell. Replication bound per rectangle:
+    ``min(cover, cover_cap, num_buckets … )`` rows on the wire.
+    """
+    from .util import splitmix64
+
+    WIRE = pa.schema(
+        [
+            pa.field("bucket", pa.int32()),
+            pa.field("cx", pa.int64()),
+            pa.field("cy", pa.int64()),
+            pa.field("side", pa.int8()),
+            pa.field("big", pa.bool_()),
+            pa.field("key", pa.int64()),
+            pa.field("minx", pa.float64()),
+            pa.field("miny", pa.float64()),
+            pa.field("maxx", pa.float64()),
+            pa.field("maxy", pa.float64()),
+        ]
+    )
+    OUT = pa.schema([pa.field("l_key", pa.int64()), pa.field("r_key", pa.int64())])
+    all_buckets = np.arange(num_buckets, dtype=np.int32)
+
+    def make_explode(side_tag: int, key_col: str):
+        def explode(batch: pa.Table) -> pa.Table:
+            k = batch.column(key_col).to_numpy(zero_copy_only=False).astype(np.int64)
+            minx = batch.column("minx").to_numpy(zero_copy_only=False).astype(np.float64)
+            miny = batch.column("miny").to_numpy(zero_copy_only=False).astype(np.float64)
+            maxx = batch.column("maxx").to_numpy(zero_copy_only=False).astype(np.float64)
+            maxy = batch.column("maxy").to_numpy(zero_copy_only=False).astype(np.float64)
+            ix0 = _grid_idx(minx, cell)
+            ix1 = _grid_idx(maxx, cell)
+            iy0 = _grid_idx(miny, cell)
+            iy1 = _grid_idx(maxy, cell)
+            # cover counted in float first: a degenerate/huge rect must
+            # hit the big path before any int64 cell arithmetic can
+            # overflow
+            nxf = np.floor(maxx / cell) - np.floor(minx / cell) + 1.0
+            nyf = np.floor(maxy / cell) - np.floor(miny / cell) + 1.0
+            big = (nxf * nyf) > cover_cap
+            nrm = np.flatnonzero(~big)
+            _guard_i32(
+                np.concatenate([ix0[nrm], ix1[nrm]]),
+                np.concatenate([iy0[nrm], iy1[nrm]]),
+                "bbox_overlap_join",
+            )
+            nx = (ix1[nrm] - ix0[nrm] + 1).astype(np.int64)
+            ny = (iy1[nrm] - iy0[nrm] + 1).astype(np.int64)
+            cnt = nx * ny
+            rep, within = _range_expand(np.zeros(len(nrm), dtype=np.int64), cnt)
+            rows_n = nrm[rep]
+            cx_n = ix0[rows_n] + within // ny[rep]
+            cy_n = iy0[rows_n] + within % ny[rep]
+            bk_n = (splitmix64(_pack_cell(cx_n, cy_n)) % np.uint64(num_buckets)).astype(
+                np.int32
+            )
+            # big rows: one copy per bucket, no cell identity
+            brows = np.flatnonzero(big)
+            rows_b = np.repeat(brows, num_buckets)
+            bk_b = np.tile(all_buckets, len(brows))
+            rows = np.concatenate([rows_n, rows_b])
+            bks = np.concatenate([bk_n, bk_b])
+            cxs = np.concatenate([cx_n, np.zeros(len(rows_b), dtype=np.int64)])
+            cys = np.concatenate([cy_n, np.zeros(len(rows_b), dtype=np.int64)])
+            bigf = np.concatenate(
+                [np.zeros(len(rows_n), dtype=bool), np.ones(len(rows_b), dtype=bool)]
+            )
+            return pa.table(
+                {
+                    "bucket": pa.array(bks, pa.int32()),
+                    "cx": pa.array(cxs, pa.int64()),
+                    "cy": pa.array(cys, pa.int64()),
+                    "side": pa.array(
+                        np.full(len(rows), side_tag, dtype=np.int8), pa.int8()
+                    ),
+                    "big": pa.array(bigf, pa.bool_()),
+                    "key": pa.array(k[rows], pa.int64()),
+                    "minx": pa.array(minx[rows], pa.float64()),
+                    "miny": pa.array(miny[rows], pa.float64()),
+                    "maxx": pa.array(maxx[rows], pa.float64()),
+                    "maxy": pa.array(maxy[rows], pa.float64()),
+                }
+            ).cast(WIRE)
+
+        return explode
+
+    lhs = left_ds.map_batches(
+        make_explode(0, left_key), batch_format="pyarrow", zero_copy_batch=True
+    )
+    rhs = right_ds.map_batches(
+        make_explode(1, right_key), batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        side = t.column("side").to_numpy(zero_copy_only=False)
+        big = t.column("big").to_numpy(zero_copy_only=False)
+        cx = t.column("cx").to_numpy(zero_copy_only=False)
+        cy = t.column("cy").to_numpy(zero_copy_only=False)
+        key = t.column("key").to_numpy(zero_copy_only=False)
+        minx = t.column("minx").to_numpy(zero_copy_only=False)
+        miny = t.column("miny").to_numpy(zero_copy_only=False)
+        maxx = t.column("maxx").to_numpy(zero_copy_only=False)
+        maxy = t.column("maxy").to_numpy(zero_copy_only=False)
+        bucket_id = int(t.column("bucket")[0].as_py()) if len(t) else 0
+
+        out_l: list[np.ndarray] = []
+        out_r: list[np.ndarray] = []
+
+        def overlap(li: np.ndarray, ri: np.ndarray) -> np.ndarray:
+            return (
+                (minx[li] <= maxx[ri])
+                & (minx[ri] <= maxx[li])
+                & (miny[li] <= maxy[ri])
+                & (miny[ri] <= maxy[li])
+            )
+
+        def rp_cells(li: np.ndarray, ri: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+            rpx = np.maximum(minx[li], minx[ri])
+            rpy = np.maximum(miny[li], miny[ri])
+            return _grid_idx(rpx, cell), _grid_idx(rpy, cell)
+
+        # 1. normal × normal, per exact cell (probe = left rows, build =
+        #    right rows argsorted by packed cell)
+        nl = np.flatnonzero((side == 0) & ~big)
+        nr = np.flatnonzero((side == 1) & ~big)
+        if len(nl) and len(nr):
+            pk = _pack_cell(cx, cy)
+            order = nr[np.argsort(pk[nr], kind="stable")]
+            pks = pk[order]
+            lo = np.searchsorted(pks, pk[nl], side="left")
+            hi = np.searchsorted(pks, pk[nl], side="right")
+            li_idx, flat = _range_expand(lo, hi)
+            if len(li_idx):
+                li = nl[li_idx]
+                ri = order[flat]
+                keep = overlap(li, ri)
+                li, ri = li[keep], ri[keep]
+                rcx, rcy = rp_cells(li, ri)
+                keep = (rcx == cx[li]) & (rcy == cy[li])
+                out_l.append(key[li[keep]])
+                out_r.append(key[ri[keep]])
+
+        # 2./3. big × normal (either orientation): candidates = big rows ×
+        #    the other side's exploded rows; the reference-point rule keeps
+        #    the single exploded row whose cell owns the pair
+        for big_side, nrm_rows in ((0, nr), (1, np.flatnonzero((side == 0) & ~big))):
+            brows = np.flatnonzero((side == big_side) & big)
+            if not len(brows) or not len(nrm_rows):
+                continue
+            for b in brows:
+                bi = np.full(len(nrm_rows), b, dtype=np.int64)
+                li, ri = (bi, nrm_rows) if big_side == 0 else (nrm_rows, bi)
+                keep = overlap(li, ri)
+                li, ri = li[keep], ri[keep]
+                if not len(li):
+                    continue
+                rcx, rcy = rp_cells(li, ri)
+                nrm = ri if big_side == 0 else li
+                keep = (rcx == cx[nrm]) & (rcy == cy[nrm])
+                out_l.append(key[li[keep]])
+                out_r.append(key[ri[keep]])
+
+        # 4. big × big: claimed by the bucket owning the pair's
+        #    reference-point cell (each big row appears once per bucket,
+        #    so candidates pair locally; the ownership test fires in
+        #    exactly one bucket)
+        bl = np.flatnonzero((side == 0) & big)
+        br = np.flatnonzero((side == 1) & big)
+        if len(bl) and len(br):
+            li = np.repeat(bl, len(br))
+            ri = np.tile(br, len(bl))
+            keep = overlap(li, ri)
+            li, ri = li[keep], ri[keep]
+            if len(li):
+                rcx, rcy = rp_cells(li, ri)
+                owner = (
+                    splitmix64(_pack_cell(rcx, rcy)) % np.uint64(num_buckets)
+                ).astype(np.int32)
+                keep = owner == bucket_id
+                out_l.append(key[li[keep]])
+                out_r.append(key[ri[keep]])
+
+        if not out_l:
+            return OUT.empty_table()
+        return pa.table(
+            {
+                "l_key": pa.array(np.concatenate(out_l), pa.int64()),
+                "r_key": pa.array(np.concatenate(out_r), pa.int64()),
+            }
+        ).cast(OUT)
+
+    return lhs.union(rhs).groupby("bucket").map_groups(per_bucket, batch_format="pyarrow")

@@ -284,3 +284,60 @@ def test_top_terms_distributed_equals_broadcast(ray_session):
     g = da.groupby("doc_id")["rank"].agg(["count", "min", "max"])
     assert (g["count"] <= 3).all() and (g["min"] == 1).all()
     assert (g["max"] == g["count"]).all()
+
+
+@pytest.mark.parametrize("which", ["semi", "anti"])
+def test_bloom_exists_join_equals_exact(ray_session, which):
+    """Bloom pre-filtered joins are EXACT (false positives verified
+    away, false negatives impossible) — equal to the plain operators
+    even with a deliberately tiny, collision-heavy filter."""
+    import ray.data as rd
+
+    from ingest_ray.functions.relational import (
+        anti_join,
+        anti_join_bloom,
+        semi_join,
+        semi_join_bloom,
+    )
+
+    exact = semi_join if which == "semi" else anti_join
+    bloom = semi_join_bloom if which == "semi" else anti_join_bloom
+    left_t, right_t = _mk(n_left=2000, n_right=500, seed=23)
+    a = exact(rd.from_arrow(left_t), rd.from_arrow(right_t), left_key="k", right_key="rk")
+    # 256-bit filter over 400 distinct keys → nearly every probe is a
+    # false positive; the verify stage must still produce exact output
+    b = bloom(
+        rd.from_arrow(left_t),
+        rd.from_arrow(right_t),
+        left_key="k",
+        right_key="rk",
+        num_bits=256,
+        num_hashes=2,
+    )
+    pd.testing.assert_frame_equal(_sorted_rows(a), _sorted_rows(b))
+    # and with a realistic filter + forced distributed verify plan
+    c = bloom(
+        rd.from_arrow(left_t),
+        rd.from_arrow(right_t),
+        left_key="k",
+        right_key="rk",
+        num_bits=1 << 16,
+        num_hashes=4,
+        broadcast_limit=0,
+    )
+    pd.testing.assert_frame_equal(_sorted_rows(a), _sorted_rows(c))
+
+
+def test_bloom_filter_no_false_negatives(ray_session):
+    import ray.data as rd
+
+    from ingest_ray.functions.relational import (
+        _bloom_maybe_mask,
+        build_bloom,
+    )
+
+    rng = np.random.default_rng(5)
+    keys = np.unique(rng.integers(-(2**62), 2**62, 5000))
+    ds = rd.from_arrow(pa.table({"rk": pa.array(keys, pa.int64())})).repartition(7)
+    bits = build_bloom(ds, "rk", num_bits=1 << 18, num_hashes=4)
+    assert _bloom_maybe_mask(keys, bits, 1 << 18, 4).all()
