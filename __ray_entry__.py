@@ -1154,6 +1154,27 @@ def q_bbox_join_customers(sf_dir: str):
     return bbox_overlap_join(left, right, cell=16.0)
 
 
+def q_chunk_docs(sf_dir: str):
+    """Fixed-window token chunking with overlap (window 32, overlap 8)
+    — zero-shuffle, Arrow-vectorized; DuckDB-oracled chunk for chunk
+    (ids, sizes, and reassembled text)."""
+    from ingest_ray.functions.chunking import chunk_documents
+
+    return chunk_documents(
+        _read(sf_dir, "documents", ["doc_id", "text"]), window=32, overlap=8
+    )
+
+
+def q_distinct_custkeys_orders(sf_dir: str):
+    """Exact distributed COUNT(DISTINCT): per-batch pre-dedup, one
+    hash-bucket exchange, driver sums 64 scalars. (The approximate
+    HLL twin is pinned against this in pytest.)"""
+    from ingest_ray.functions.stats import distinct_count
+
+    n = distinct_count(_read(sf_dir, "orders", ["o_custkey"]), "o_custkey")
+    return pa.table({"n_distinct": pa.array([n], pa.int64())})
+
+
 def q_normalize_docs(sf_dir: str):
     from ingest_ray.functions.text import normalize_text_batch
 
@@ -1236,6 +1257,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semi_join_bloom_customers": q_semi_join_bloom_customers,
         "radius_customers": q_radius_customers,
         "bbox_join_customers": q_bbox_join_customers,
+        "chunk_docs": q_chunk_docs,
+        "distinct_custkeys_orders": q_distinct_custkeys_orders,
         "normalize_docs": q_normalize_docs,
         "top_terms_docs": q_top_terms_docs,
         "sample_stratified_docs": q_sample_stratified_docs,
@@ -1621,6 +1644,21 @@ def oracle_sql() -> dict[str, str]:
         "semi_join_customers": """
             SELECT c_custkey, c_name FROM customer c
             WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        """,
+        "chunk_docs": """
+            WITH n AS (SELECT doc_id, string_split(text, ' ') AS l,
+                              len(string_split(text, ' ')) AS n FROM documents),
+            c AS (SELECT doc_id, l, n,
+                  CASE WHEN n <= 32 THEN 1 ELSE ((n - 32 + 23) // 24) + 1 END AS n_chunks
+                  FROM n),
+            e AS (SELECT doc_id, l, n, unnest(range(n_chunks)) AS i FROM c)
+            SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+                   CAST(LEAST(i*24 + 32, n) - i*24 AS INT) AS n_tok,
+                   array_to_string(l[i*24 + 1 : LEAST(i*24 + 32, n)], ' ') AS chunk_text
+            FROM e
+        """,
+        "distinct_custkeys_orders": """
+            SELECT count(DISTINCT o_custkey)::BIGINT AS n_distinct FROM orders
         """,
         "semi_join_bloom_customers": """
             SELECT c_custkey, c_name FROM customer c
