@@ -1154,6 +1154,15 @@ def q_bbox_join_customers(sf_dir: str):
     return bbox_overlap_join(left, right, cell=16.0)
 
 
+def q_shuffle_docs(sf_dir: str):
+    """Deterministic global shuffle position per doc — dense
+    permutation ordered by splitmix64(doc_id), oracled against a SQL
+    row_number over the same integer hash chain."""
+    from ingest_ray.functions.packing import global_shuffle_order
+
+    return global_shuffle_order(_read(sf_dir, "documents", ["doc_id"]))
+
+
 def q_chunk_docs(sf_dir: str):
     """Fixed-window token chunking with overlap (window 32, overlap 8)
     — zero-shuffle, Arrow-vectorized; DuckDB-oracled chunk for chunk
@@ -1259,6 +1268,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bbox_join_customers": q_bbox_join_customers,
         "chunk_docs": q_chunk_docs,
         "distinct_custkeys_orders": q_distinct_custkeys_orders,
+        "shuffle_docs": q_shuffle_docs,
         "normalize_docs": q_normalize_docs,
         "top_terms_docs": q_top_terms_docs,
         "sample_stratified_docs": q_sample_stratified_docs,
@@ -1659,6 +1669,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         "distinct_custkeys_orders": """
             SELECT count(DISTINCT o_custkey)::BIGINT AS n_distinct FROM orders
+        """,
+        "shuffle_docs": f"""
+            {_splitmix_docs_cte()}
+            SELECT doc_id,
+                   CAST(row_number() OVER (ORDER BY h, doc_id) - 1 AS BIGINT) AS pos
+            FROM hv
         """,
         "semi_join_bloom_customers": """
             SELECT c_custkey, c_name FROM customer c

@@ -100,3 +100,67 @@ def pack_sequences(docs_ds, *, seq_len: int = 2048, num_buckets: int = 64):
         ).cast(OUT_SCHEMA)
 
     return tagged.groupby("bucket").map_groups(scan_bucket, batch_format="pandas")
+
+
+SHUFFLE_SCHEMA = pa.schema(
+    [pa.field("doc_id", pa.int64()), pa.field("pos", pa.int64())]
+)
+
+
+def global_shuffle_order(ds, *, key: str = "doc_id", salt: int = 0, num_buckets: int = 64):
+    """Deterministic global training-data shuffle: every key gets a
+    dense permutation position ``pos ∈ [0, N)`` ordered by
+    ``splitmix64(key ^ salt)`` (ties broken by key, so the permutation
+    is a pure function of (key set, salt) — re-runs, retries and
+    different partitionings all produce the SAME order, unlike
+    ``Dataset.random_shuffle``).
+
+    Plan mirrors :func:`pack_sequences`' scan: hash values are uniform
+    in [0, 2⁶⁴), so EQUAL-WIDTH hash ranges are balanced buckets no
+    matter how skewed the key space is (no quantile sketch needed);
+    per-bucket counts → driver exclusive scan over ``num_buckets``
+    scalars → per-bucket sort + arange + base. Two small exchanges,
+    nothing corpus-sized on the driver.
+    """
+    from ..util import splitmix64
+
+    def tag(batch: pa.Table) -> pa.Table:
+        k = batch.column(key).to_numpy(zero_copy_only=False).astype(np.int64)
+        h = splitmix64(k.astype(np.uint64) ^ np.uint64(salt))
+        # fixed-point multiply keeps the bucket fn monotone in h for
+        # ANY num_buckets (no power-of-two requirement)
+        bk = (((h >> np.uint64(32)) * np.uint64(num_buckets)) >> np.uint64(32)).astype(
+            np.int32
+        )
+        return pa.table(
+            {
+                "bucket": pa.array(bk, pa.int32()),
+                "doc_id": pa.array(k, pa.int64()),
+                "h": pa.array(h, pa.uint64()),
+            }
+        )
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True).materialize()
+
+    from ray.data.aggregate import Count
+
+    per = np.zeros(num_buckets, dtype=np.int64)
+    cnt = tagged.groupby("bucket").aggregate(Count(alias_name="n")).to_pandas()
+    per[cnt["bucket"].to_numpy()] = cnt["n"].to_numpy()
+    bases = np.zeros(num_buckets + 1, dtype=np.int64)
+    bases[1:] = np.cumsum(per)
+
+    def rank_bucket(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return SHUFFLE_SCHEMA.empty_table()
+        k = t.column("doc_id").to_numpy(zero_copy_only=False)
+        h = t.column("h").to_numpy(zero_copy_only=False)
+        order = np.lexsort((k, h))
+        base = int(bases[int(t.column("bucket")[0].as_py())])
+        pos = np.empty(len(k), dtype=np.int64)
+        pos[order] = base + np.arange(len(k), dtype=np.int64)
+        return pa.table(
+            {"doc_id": pa.array(k, pa.int64()), "pos": pa.array(pos, pa.int64())}
+        ).cast(SHUFFLE_SCHEMA)
+
+    return tagged.groupby("bucket").map_groups(rank_bucket, batch_format="pyarrow")

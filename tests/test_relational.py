@@ -341,3 +341,31 @@ def test_bloom_filter_no_false_negatives(ray_session):
     ds = rd.from_arrow(pa.table({"rk": pa.array(keys, pa.int64())})).repartition(7)
     bits = build_bloom(ds, "rk", num_bits=1 << 18, num_hashes=4)
     assert _bloom_maybe_mask(keys, bits, 1 << 18, 4).all()
+
+
+def test_global_shuffle_order_is_dense_deterministic_permutation(ray_session):
+    import ray.data as rd
+
+    from ingest_ray.functions.packing import global_shuffle_order
+    from ingest_ray.util import splitmix64
+
+    rng = np.random.default_rng(31)
+    ids = np.unique(rng.integers(0, 10**9, 3000)).astype(np.int64)
+    t = pa.table({"doc_id": pa.array(ids, pa.int64())})
+    a = global_shuffle_order(rd.from_arrow(t).repartition(7)).to_pandas()
+    b = global_shuffle_order(rd.from_arrow(t).repartition(2), num_buckets=13).to_pandas()
+    a = a.sort_values("doc_id").reset_index(drop=True)
+    b = b.sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)  # partitioning/bucketing-invariant
+    # dense permutation 0..N-1
+    assert sorted(a["pos"].tolist()) == list(range(len(ids)))
+    # matches the brute-force order by (h, id)
+    h = splitmix64(ids.astype(np.uint64))
+    want = np.empty(len(ids), dtype=np.int64)
+    want[np.lexsort((ids, h))] = np.arange(len(ids))
+    got = a.set_index("doc_id")["pos"]
+    assert np.array_equal(got.loc[ids].to_numpy(), want)
+    # a different salt is a different permutation
+    c = global_shuffle_order(rd.from_arrow(t), salt=99).to_pandas()
+    c = c.sort_values("doc_id").reset_index(drop=True)
+    assert not np.array_equal(c["pos"].to_numpy(), a["pos"].to_numpy())
