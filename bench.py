@@ -341,10 +341,16 @@ def suite(sf_dir: str) -> dict[str, float]:
         "sliding_window_events",
         "topk_orders_per_cust",
         "anti_join_customers",
+        "semi_join_bloom_customers",
         "top_terms_docs",
         "sample_stratified_docs",
         "pack_sequences_docs",
         "quantiles_orders",
+        "radius_customers",
+        "bbox_join_customers",
+        "chunk_docs",
+        "distinct_custkeys_orders",
+        "shuffle_docs",
     ):
         q = E.queries()[name]
         timed(name, lambda q=q: consume(q(sf_dir)))
