@@ -1154,6 +1154,30 @@ def q_bbox_join_customers(sf_dir: str):
     return bbox_overlap_join(left, right, cell=16.0)
 
 
+def q_pivot_events(sf_dir: str):
+    """user_id × event_type count pivot — per-batch wide combiner, one
+    groupby-sum; category set discovered with a bounded driver merge.
+    Oracled vs CASE-WHEN sums."""
+    from ingest_ray.functions.pivot import pivot_counts
+
+    return pivot_counts(
+        _read(sf_dir, "events", ["user_id", "event_type"]),
+        row_key="user_id",
+        cat_col="event_type",
+    )
+
+
+def q_heavy_custkeys_orders(sf_dir: str):
+    """Customers with ≥ 16 orders — exact distributed heavy hitters
+    (combiner pre-aggregation, one small groupby). The Misra-Gries
+    sketch twin is pinned against this in pytest."""
+    from ingest_ray.functions.stats import exact_heavy_hitters
+
+    return exact_heavy_hitters(
+        _read(sf_dir, "orders", ["o_custkey"]), "o_custkey", min_count=16
+    )
+
+
 def q_shuffle_docs(sf_dir: str):
     """Deterministic global shuffle position per doc — dense
     permutation ordered by splitmix64(doc_id), oracled against a SQL
@@ -1269,6 +1293,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_docs": q_chunk_docs,
         "distinct_custkeys_orders": q_distinct_custkeys_orders,
         "shuffle_docs": q_shuffle_docs,
+        "pivot_events": q_pivot_events,
+        "heavy_custkeys_orders": q_heavy_custkeys_orders,
         "normalize_docs": q_normalize_docs,
         "top_terms_docs": q_top_terms_docs,
         "sample_stratified_docs": q_sample_stratified_docs,
@@ -1675,6 +1701,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    CAST(row_number() OVER (ORDER BY h, doc_id) - 1 AS BIGINT) AS pos
             FROM hv
+        """,
+        "pivot_events": """
+            SELECT user_id,
+                   sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS n_click,
+                   sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT AS n_error,
+                   sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS n_purchase,
+                   sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)::BIGINT AS n_signup,
+                   sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT AS n_view
+            FROM events GROUP BY user_id
+        """,
+        "heavy_custkeys_orders": """
+            SELECT o_custkey AS v, count(*)::BIGINT AS n
+            FROM orders GROUP BY o_custkey HAVING count(*) >= 16
         """,
         "semi_join_bloom_customers": """
             SELECT c_custkey, c_name FROM customer c

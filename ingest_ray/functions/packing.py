@@ -40,31 +40,52 @@ OUT_SCHEMA = pa.schema(
 )
 
 
-def pack_sequences(docs_ds, *, seq_len: int = 2048, num_buckets: int = 64):
+def pack_sequences(
+    docs_ds, *, seq_len: int = 2048, num_buckets: int = 64, bucketing: str = "width"
+):
     """documents Dataset → per-doc global token offsets and sequence
-    assignment (doc_id order)."""
+    assignment (doc_id order).
+
+    ``bucketing="width"`` (default) splits the id span into equal-width
+    ranges — balanced when ids are dense (the testdata/reference
+    contract). ``bucketing="depth"`` spends one extra pass on an exact
+    quantile sketch of the (small) counts table and uses equi-depth
+    splits instead — balanced under ANY id skew (output is identical;
+    property-tested). Ids must stay < 2⁵³ on the depth path (float64
+    split edges)."""
     from .text import token_count_batch
 
     counts = docs_ds.map_batches(token_count_batch, batch_format="pandas").materialize()
     if counts.count() == 0:
         return __import__("ray").data.from_arrow(OUT_SCHEMA.empty_table())
 
-    # id range for order-preserving buckets (one pass over the small
-    # (doc_id, n_tokens) table, not the corpus)
-    from ray.data.aggregate import Max, Min
+    if bucketing == "depth":
+        from .quantiles import equi_depth_splits
 
-    agg = counts.aggregate(Min("doc_id"), Max("doc_id"))
-    lo, hi = int(agg["min(doc_id)"]), int(agg["max(doc_id)"])
-    span = max(hi - lo + 1, 1)
+        splits = equi_depth_splits(counts, col="doc_id", num_buckets=num_buckets)
 
-    def _bucket_of(ids: np.ndarray) -> np.ndarray:
-        if span <= 2**62 // num_buckets:
-            return ((ids - lo) * num_buckets // span).astype(np.int32)
-        # extreme id spans would wrap the int64 multiply (breaking
-        # bucket monotonicity → wrong prefix order); float division is
-        # monotone, and bucket boundaries only need monotonicity
-        b = ((ids - lo).astype(np.float64) * num_buckets / span).astype(np.int64)
-        return np.clip(b, 0, num_buckets - 1).astype(np.int32)
+        def _bucket_of(ids: np.ndarray) -> np.ndarray:
+            return np.searchsorted(splits, ids.astype(np.float64), side="right").astype(
+                np.int32
+            )
+
+    else:
+        # id range for order-preserving buckets (one pass over the small
+        # (doc_id, n_tokens) table, not the corpus)
+        from ray.data.aggregate import Max, Min
+
+        agg = counts.aggregate(Min("doc_id"), Max("doc_id"))
+        lo, hi = int(agg["min(doc_id)"]), int(agg["max(doc_id)"])
+        span = max(hi - lo + 1, 1)
+
+        def _bucket_of(ids: np.ndarray) -> np.ndarray:
+            if span <= 2**62 // num_buckets:
+                return ((ids - lo) * num_buckets // span).astype(np.int32)
+            # extreme id spans would wrap the int64 multiply (breaking
+            # bucket monotonicity → wrong prefix order); float division is
+            # monotone, and bucket boundaries only need monotonicity
+            b = ((ids - lo).astype(np.float64) * num_buckets / span).astype(np.int64)
+            return np.clip(b, 0, num_buckets - 1).astype(np.int32)
 
     def tag(df: pd.DataFrame) -> pd.DataFrame:
         return df.assign(bucket=_bucket_of(df["doc_id"].to_numpy()))

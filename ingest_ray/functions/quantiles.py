@@ -153,3 +153,17 @@ def quantiles_table(ds, *, col: str, qs: tuple[float, ...], names: tuple[str, ..
     """exact_quantiles as a one-row pyarrow Table (named columns)."""
     res = exact_quantiles(ds, col=col, qs=qs)
     return pa.table({nm: pa.array([res[q]], pa.float64()) for nm, q in zip(names, qs)})
+
+
+def equi_depth_splits(ds, *, col: str, num_buckets: int, **kw) -> np.ndarray:
+    """B−1 ascending split values (actual column elements, via
+    :func:`exact_quantiles`) such that ``np.searchsorted(splits, v,
+    side="right")`` assigns rows to ``num_buckets`` ORDER-PRESERVING,
+    equi-depth range buckets — balanced under any value skew, unlike
+    equal-width ranges. This is the quantile-sketch partitioner the
+    packing scan's docstring calls for on skewed id spaces."""
+    if num_buckets <= 1:
+        return np.empty(0, dtype=np.float64)
+    qs = tuple(i / num_buckets for i in range(1, num_buckets))
+    res = exact_quantiles(ds, col=col, qs=qs, **kw)
+    return np.asarray([res[q] for q in qs], dtype=np.float64)

@@ -128,3 +128,139 @@ def hll_count(ds, col: str, *, p: int = 14, num_reduce_buckets: int = 32) -> flo
         for chunk in b.column("regs").to_pylist():
             np.maximum(acc, np.frombuffer(chunk, dtype=np.uint8), out=acc)
     return _hll_estimate(acc, p)
+
+
+# --------------------------------------------------------------------------
+# frequent items — exact (combiner groupby) and Misra-Gries sketch
+# --------------------------------------------------------------------------
+
+HH_SCHEMA = pa.schema([pa.field("v", pa.int64()), pa.field("n", pa.int64())])
+
+
+def exact_heavy_hitters(ds, col: str, *, min_count: int):
+    """All values with total count ≥ ``min_count`` — per-batch
+    pre-aggregated counts (the combiner), ONE small groupby over
+    (value, partial_count), filter. The exchange carries one row per
+    (value, batch), never one per input row."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vals, cnts = np.unique(
+            batch.column(col).to_numpy(zero_copy_only=False).astype(np.int64),
+            return_counts=True,
+        )
+        return pa.table(
+            {"v": pa.array(vals, pa.int64()), "n": pa.array(cnts.astype(np.int64), pa.int64())}
+        )
+
+    from ray.data.aggregate import Sum
+
+    def keep(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = pa.table(
+            {
+                "v": batch.column("v").cast(pa.int64()),
+                "n": batch.column("sum(n)").cast(pa.int64()),
+            }
+        )
+        return t.filter(pc.greater_equal(t.column("n"), min_count))
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("v")
+        .aggregate(Sum("n"))
+        .map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+
+def _mg_compress(vals: np.ndarray, cnts: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray, int]:
+    """Keep ≤ k counters by subtracting the (k+1)-th largest count from
+    all (the Misra-Gries decrement); returns the amount subtracted."""
+    if len(vals) <= k:
+        return vals, cnts, 0
+    d = int(np.partition(cnts, -(k + 1))[-(k + 1)])
+    keep = cnts > d
+    return vals[keep], (cnts[keep] - d), d
+
+
+def _mg_sum_by_value(vals: np.ndarray, cnts: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    order = np.argsort(vals, kind="stable")
+    v, c = vals[order], cnts[order]
+    starts = np.flatnonzero(np.concatenate([[True], v[1:] != v[:-1]]))
+    return v[starts], np.add.reduceat(c, starts)
+
+
+def heavy_hitters(
+    ds, col: str, *, k: int = 1024, num_reduce_buckets: int = 32
+) -> pa.Table:
+    """Misra-Gries frequent-items sketch (Agarwal et al., "Mergeable
+    Summaries"): each batch compresses its exact counts to ≤ k
+    counters, summaries merge by count-sum + re-compress (any merge
+    tree keeps the bound), so the exchange is ≤ k rows per batch and
+    the driver folds ≤ ``num_reduce_buckets`` summaries. Returns
+    (v, n_lo, n_hi): true count ∈ [n_lo, n_hi] and every value whose
+    true count exceeds the accumulated decrement (≤ N/(k+1)) is
+    PRESENT — no false negatives above that threshold. The exact twin
+    is :func:`exact_heavy_hitters`."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vals, cnts = np.unique(
+            batch.column(col).to_numpy(zero_copy_only=False).astype(np.int64),
+            return_counts=True,
+        )
+        vals, cnts, d = _mg_compress(vals, cnts.astype(np.int64), k)
+        bk = int(splitmix64(np.uint64(len(batch))) % num_reduce_buckets)
+        n = len(vals)
+        return pa.table(
+            {
+                "bucket": pa.array(np.full(n + 1, bk, dtype=np.int32), pa.int32()),
+                "flag": pa.array(
+                    np.concatenate([np.zeros(n, dtype=np.int8), [1]]), pa.int8()
+                ),
+                "v": pa.array(np.concatenate([vals, [0]]), pa.int64()),
+                "c": pa.array(np.concatenate([cnts, [d]]), pa.int64()),
+            }
+        )
+
+    def merge_rows(t: pa.Table) -> tuple[np.ndarray, np.ndarray, int]:
+        flag = t.column("flag").to_numpy(zero_copy_only=False)
+        v = t.column("v").to_numpy(zero_copy_only=False)
+        c = t.column("c").to_numpy(zero_copy_only=False)
+        err = int(c[flag == 1].sum())
+        vv, cc = _mg_sum_by_value(v[flag == 0], c[flag == 0])
+        vv, cc, d = _mg_compress(vv, cc, k)
+        return vv, cc, err + d
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        vv, cc, err = merge_rows(t)
+        bk = int(t.column("bucket")[0].as_py()) if len(t) else 0
+        n = len(vv)
+        return pa.table(
+            {
+                "bucket": pa.array(np.full(n + 1, bk, dtype=np.int32), pa.int32()),
+                "flag": pa.array(
+                    np.concatenate([np.zeros(n, dtype=np.int8), [1]]), pa.int8()
+                ),
+                "v": pa.array(np.concatenate([vv, [0]]), pa.int64()),
+                "c": pa.array(np.concatenate([cc, [err]]), pa.int64()),
+            }
+        )
+
+    reduced = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )
+    rows = pa.concat_tables(
+        list(reduced.iter_batches(batch_size=None, batch_format="pyarrow"))
+    )
+    vv, cc, err = merge_rows(rows)
+    order = np.argsort(-cc, kind="stable")
+    vv, cc = vv[order], cc[order]
+    return pa.table(
+        {
+            "v": pa.array(vv, pa.int64()),
+            "n_lo": pa.array(cc, pa.int64()),
+            "n_hi": pa.array(cc + err, pa.int64()),
+        }
+    )
