@@ -1154,6 +1154,23 @@ def q_bbox_join_customers(sf_dir: str):
     return bbox_overlap_join(left, right, cell=16.0)
 
 
+def q_simplify_synth(sf_dir: str):
+    """RDP polyline simplification over the synth corpus's line/area
+    features (eps in f32 coordinate units) — the low-zoom geometry
+    pass; rows-only (geo), invariants pinned in pytest."""
+    import pyarrow.compute as pc
+
+    from ingest_ray.simplify import simplify_lines
+
+    feats = _synth_features(sf_dir).map_batches(
+        lambda b: b.filter(pc.greater(pc.list_value_length(b.column("positions")), 4)),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    out = simplify_lines(feats, eps=0.01)
+    return out.select_columns(["key", "n_pts", "n_kept"])
+
+
 def q_pivot_events(sf_dir: str):
     """user_id × event_type count pivot — per-batch wide combiner, one
     groupby-sum; category set discovered with a bounded driver merge.
@@ -1295,6 +1312,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shuffle_docs": q_shuffle_docs,
         "pivot_events": q_pivot_events,
         "heavy_custkeys_orders": q_heavy_custkeys_orders,
+        "simplify_synth": q_simplify_synth,
         "normalize_docs": q_normalize_docs,
         "top_terms_docs": q_top_terms_docs,
         "sample_stratified_docs": q_sample_stratified_docs,
