@@ -1154,6 +1154,28 @@ def q_bbox_join_customers(sf_dir: str):
     return bbox_overlap_join(left, right, cell=16.0)
 
 
+def q_sample_weighted_docs(sf_dir: str):
+    """Length-weighted deterministic sampling: inclusion probability
+    min(1, 0.0025·len(text)) as a pure function of doc_id — the
+    quality/length-weighted curation op; oracled via the same
+    splitmix64 chain + one IEEE-identical float comparison."""
+    import pyarrow.compute as pc
+
+    from ingest_ray.functions.sampling import weighted_sample
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        lambda b: pa.table(
+            {
+                "doc_id": b.column("doc_id").cast(pa.int64()),
+                "w": pc.utf8_length(b.column("text")).cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return weighted_sample(docs, key="doc_id", weight_col="w", rate=0.0025)
+
+
 def q_simplify_synth(sf_dir: str):
     """RDP polyline simplification over the synth corpus's line/area
     features (eps in f32 coordinate units) — the low-zoom geometry
@@ -1313,6 +1335,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pivot_events": q_pivot_events,
         "heavy_custkeys_orders": q_heavy_custkeys_orders,
         "simplify_synth": q_simplify_synth,
+        "sample_weighted_docs": q_sample_weighted_docs,
         "normalize_docs": q_normalize_docs,
         "top_terms_docs": q_top_terms_docs,
         "sample_stratified_docs": q_sample_stratified_docs,
@@ -1732,6 +1755,13 @@ def oracle_sql() -> dict[str, str]:
         "heavy_custkeys_orders": """
             SELECT o_custkey AS v, count(*)::BIGINT AS n
             FROM orders GROUP BY o_custkey HAVING count(*) >= 16
+        """,
+        "sample_weighted_docs": f"""
+            {_splitmix_docs_cte()}
+            SELECT d.doc_id, length(d.text)::BIGINT AS w
+            FROM documents d JOIN hv ON hv.doc_id = d.doc_id
+            WHERE CAST(hv.h AS DOUBLE) / 18446744073709551616.0
+                  < 0.0025 * length(d.text)
         """,
         "semi_join_bloom_customers": """
             SELECT c_custkey, c_name FROM customer c

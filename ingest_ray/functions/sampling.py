@@ -120,3 +120,35 @@ def per_stratum_sample(
         .groupby("__bucket")
         .map_groups(rank_bucket, batch_format="pandas")
     )
+
+
+def weighted_sample(
+    ds,
+    *,
+    key: str,
+    weight_col: str,
+    rate: float,
+    salt: int = 0,
+):
+    """Weight-proportional deterministic sampling: keep a row iff
+    ``u < rate · w`` where ``u = splitmix64(key ^ salt) / 2⁶⁴`` — i.e.
+    inclusion probability ``min(1, rate·wᵢ)``, reproducible across
+    re-runs and partition retries like :func:`stratified_sample`
+    (membership is a pure function of the key). Zero exchanges.
+
+    The comparison runs in float64 with one fixed expression shape
+    (``CAST(h AS DOUBLE)/2⁶⁴ < rate * w``) so the DuckDB oracle
+    evaluates the IDENTICAL IEEE operations — exact twin, no epsilon.
+    """
+    if rate < 0:
+        raise ValueError("rate must be >= 0")
+    salt_u = U64(salt)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        keys = batch.column(key).to_numpy(zero_copy_only=False).astype(np.int64)
+        hv = splitmix64(keys.astype(U64) ^ salt_u)
+        u = hv.astype(np.float64) / 18446744073709551616.0
+        w = batch.column(weight_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        return batch.filter(pa.array(u < rate * w))
+
+    return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)

@@ -369,3 +369,33 @@ def test_global_shuffle_order_is_dense_deterministic_permutation(ray_session):
     c = global_shuffle_order(rd.from_arrow(t), salt=99).to_pandas()
     c = c.sort_values("doc_id").reset_index(drop=True)
     assert not np.array_equal(c["pos"].to_numpy(), a["pos"].to_numpy())
+
+
+def test_weighted_sample_deterministic_and_proportional(ray_session):
+    import ray.data as rd
+
+    from ingest_ray.functions.sampling import weighted_sample
+    from ingest_ray.util import splitmix64
+
+    rng = np.random.default_rng(41)
+    n = 20_000
+    ids = np.arange(n, dtype=np.int64)
+    w = rng.integers(1, 100, n).astype(np.int64)
+    t = pa.table({"doc_id": pa.array(ids, pa.int64()), "w": pa.array(w, pa.int64())})
+    rate = 1 / 128.0
+    a = weighted_sample(
+        rd.from_arrow(t).repartition(8), key="doc_id", weight_col="w", rate=rate
+    ).to_pandas()
+    b = weighted_sample(
+        rd.from_arrow(t).repartition(3), key="doc_id", weight_col="w", rate=rate
+    ).to_pandas()
+    assert sorted(a["doc_id"]) == sorted(b["doc_id"])  # partition-invariant
+    # exact membership: u < rate*w
+    u = splitmix64(ids.astype(np.uint64)).astype(np.float64) / 2.0**64
+    want = ids[u < rate * w]
+    assert sorted(a["doc_id"].tolist()) == want.tolist()
+    # selection probability scales with weight: top-weight decile kept
+    # far more often than bottom decile
+    hi = (w >= 90).mean() and a["w"].ge(90).sum() / (w >= 90).sum()
+    lo = a["w"].le(10).sum() / max((w <= 10).sum(), 1)
+    assert hi > 3 * lo
