@@ -583,6 +583,53 @@ def q_tiles_store_aggregated(sf_dir: str):
     return rows.sort_values(["key"]).reset_index(drop=True)
 
 
+def q_zoom_pyramid_synth(sf_dir: str):
+    """Base store → one zoom-4 pyramid level: sub-pixel features
+    dropped, rings RDP-simplified and re-earcut, re-tiled into a
+    committed per-zoom store. Returns per-feature vertex counts
+    (rows-only; invariants pinned in pytest)."""
+    import shutil
+    import tempfile
+
+    from ingest_ray.checkpoint import optimize_to_tiles, read_tiles
+    from ingest_ray.pyramid import build_zoom_pyramid
+
+    feats = _synth_features(sf_dir)
+    store = tempfile.mkdtemp(prefix="ingest_ray_pyr_store_")
+    try:
+        optimize_to_tiles(
+            feats, store, grid_divs=(8, 8), leaf_capacity=1000, resume=False
+        ).materialize()
+        build_zoom_pyramid(store, zooms=(4,), grid_divs=(8, 8), leaf_capacity=1000)[
+            4
+        ].materialize()
+        import os as _os
+
+        rows = (
+            read_tiles(_os.path.join(store, "zoom", "z4"))
+            .map_batches(
+                lambda b: pa.table(
+                    {
+                        "key": b.column("key"),
+                        "kind": b.column("kind").cast(pa.int32()),
+                        "n_pts": pa.compute.divide(
+                            pa.compute.list_value_length(b.column("positions")).cast(
+                                pa.int64()
+                            ),
+                            2,
+                        ),
+                    }
+                ),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            )
+            .to_pandas()
+        )
+    finally:
+        shutil.rmtree(store, ignore_errors=True)
+    return rows.sort_values(["key"]).reset_index(drop=True)
+
+
 def q_changeset_golden(sf_dir: str):
     """Incremental update rounds 0-3 (the reference's pinned o5c
     replication loop, tests/ingest.rs:90-400): create/modify/delete
@@ -1336,6 +1383,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_custkeys_orders": q_heavy_custkeys_orders,
         "simplify_synth": q_simplify_synth,
         "sample_weighted_docs": q_sample_weighted_docs,
+        "zoom_pyramid_synth": q_zoom_pyramid_synth,
         "normalize_docs": q_normalize_docs,
         "top_terms_docs": q_top_terms_docs,
         "sample_stratified_docs": q_sample_stratified_docs,
