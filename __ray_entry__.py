@@ -1240,6 +1240,27 @@ def q_simplify_synth(sf_dir: str):
     return out.select_columns(["key", "n_pts", "n_kept"])
 
 
+def q_lag_events(sf_dir: str):
+    """Per-event microseconds since the same user's previous event —
+    the LAG window primitive (one hash exchange, per-bucket lexsort +
+    shifted subtraction); oracled vs SQL LAG OVER."""
+    from ingest_ray.functions.temporal import lag_delta
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id"])
+    return lag_delta(ev, key="user_id", ts="ts", tiebreak="event_id").select_columns(
+        ["event_id", "user_id", "lag_us"]
+    )
+
+
+def q_quantiles_by_event_type(sf_dir: str):
+    """Exact per-group quantiles (quantile_disc ranks) — one exchange,
+    one lexsort per bucket, vectorized rank pick per group segment."""
+    from ingest_ray.functions.grouped import grouped_quantiles
+
+    ev = _read(sf_dir, "events", ["event_type", "value"])
+    return grouped_quantiles(ev, key="event_type", value="value")
+
+
 def q_pivot_events(sf_dir: str):
     """user_id × event_type count pivot — per-batch wide combiner, one
     groupby-sum; category set discovered with a bounded driver merge.
@@ -1381,6 +1402,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shuffle_docs": q_shuffle_docs,
         "pivot_events": q_pivot_events,
         "heavy_custkeys_orders": q_heavy_custkeys_orders,
+        "lag_events": q_lag_events,
+        "quantiles_by_event_type": q_quantiles_by_event_type,
         "simplify_synth": q_simplify_synth,
         "sample_weighted_docs": q_sample_weighted_docs,
         "zoom_pyramid_synth": q_zoom_pyramid_synth,
@@ -1803,6 +1826,19 @@ def oracle_sql() -> dict[str, str]:
         "heavy_custkeys_orders": """
             SELECT o_custkey AS v, count(*)::BIGINT AS n
             FROM orders GROUP BY o_custkey HAVING count(*) >= 16
+        """,
+        "lag_events": """
+            SELECT event_id, user_id,
+                   CAST(epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS lag_us
+            FROM events
+        """,
+        "quantiles_by_event_type": """
+            SELECT event_type,
+                   quantile_disc(value, 0.25) AS q25,
+                   quantile_disc(value, 0.50) AS q50,
+                   quantile_disc(value, 0.75) AS q75
+            FROM events GROUP BY event_type
         """,
         "sample_weighted_docs": f"""
             {_splitmix_docs_cte()}

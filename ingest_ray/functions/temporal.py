@@ -329,3 +329,58 @@ def sliding_window_agg(
         .groupby("bucket")
         .map_groups(agg, batch_format="pandas")
     )
+
+
+def lag_delta(
+    ds,
+    *,
+    key: str,
+    ts: str,
+    tiebreak: str,
+    num_buckets: int = 64,
+):
+    """Per row: microseconds since the SAME key's previous row in
+    (ts, tiebreak) order — the LAG window primitive (first row per key
+    gets null). One hash exchange (bucket by key), per bucket one
+    lexsort + one shifted subtraction; (ts, tiebreak) must be unique
+    per key for a total order, which makes the output deterministic
+    under any partitioning. SQL twin: ``ts - LAG(ts) OVER (PARTITION
+    BY key ORDER BY ts, tiebreak)``.
+    """
+
+    def tag(batch: pa.Table) -> pa.Table:
+        k = batch.column(key).to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = (splitmix64(k) % np.uint64(num_buckets)).astype(np.int32)
+        return batch.append_column("bucket", pa.array(b, pa.int32()))
+
+    schema = ds.schema()
+    cols = list(schema.names)
+    out_schema = pa.schema(
+        [pa.field(c, t) for c, t in zip(schema.names, schema.types)]
+        + [pa.field("lag_us", pa.int64())]
+    )
+
+    def agg(df: pd.DataFrame) -> pa.Table:
+        if len(df) == 0:
+            return out_schema.empty_table()
+        k = df[key].to_numpy(np.int64)
+        t = df[ts].to_numpy("datetime64[us]").astype(np.int64)
+        tb = df[tiebreak].to_numpy(np.int64)
+        order = np.lexsort((tb, t, k))
+        ks, ts_ = k[order], t[order]
+        valid = np.zeros(len(ks), dtype=bool)
+        valid[1:] = ks[1:] == ks[:-1]
+        lag = np.zeros(len(ks), dtype=np.int64)
+        lag[1:] = np.where(valid[1:], ts_[1:] - ts_[:-1], 0)
+        out = df.iloc[order][cols].reset_index(drop=True)
+        tbl = pa.Table.from_pandas(out, preserve_index=False)
+        tbl = tbl.append_column(
+            "lag_us", pa.array(lag, pa.int64(), mask=~valid)  # first-of-key → null
+        )
+        return tbl.cast(out_schema)
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(agg, batch_format="pandas")
+    )

@@ -399,3 +399,59 @@ def test_weighted_sample_deterministic_and_proportional(ray_session):
     hi = (w >= 90).mean() and a["w"].ge(90).sum() / (w >= 90).sum()
     lo = a["w"].le(10).sum() / max((w <= 10).sum(), 1)
     assert hi > 3 * lo
+
+
+def test_lag_delta_matches_pandas(ray_session):
+    import ray.data as rd
+
+    from ingest_ray.functions.temporal import lag_delta
+
+    rng = np.random.default_rng(51)
+    n = 5000
+    t = pa.table(
+        {
+            "event_id": pa.array(np.arange(n), pa.int64()),
+            "ts": pa.array(
+                rng.integers(0, 10**9, n).astype("datetime64[us]"), pa.timestamp("us")
+            ),
+            "user_id": pa.array(rng.integers(0, 80, n), pa.int64()),
+        }
+    )
+    got = (
+        lag_delta(rd.from_arrow(t).repartition(7), key="user_id", ts="ts", tiebreak="event_id")
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    df = t.to_pandas().sort_values(["user_id", "ts", "event_id"])
+    df["lag_us"] = df.groupby("user_id")["ts"].diff() / np.timedelta64(1, "us")
+    want = df.sort_values("event_id").reset_index(drop=True)
+    ga = got["lag_us"].to_numpy(dtype="float64", na_value=np.nan)
+    wa = want["lag_us"].to_numpy(dtype="float64", na_value=np.nan)
+    assert np.array_equal(np.isnan(ga), np.isnan(wa))
+    assert np.array_equal(ga[~np.isnan(ga)], wa[~np.isnan(wa)])
+
+
+def test_grouped_quantiles_matches_reference(ray_session):
+    import ray.data as rd
+
+    from ingest_ray.functions.grouped import grouped_quantiles
+
+    rng = np.random.default_rng(52)
+    n = 20_000
+    keys = rng.integers(0, 300, n)  # many groups, some tiny
+    vals = rng.normal(size=n)
+    t = pa.table(
+        {"g": pa.array(keys, pa.int64()), "value": pa.array(vals, pa.float64())}
+    )
+    got = (
+        grouped_quantiles(rd.from_arrow(t).repartition(8), key="g", value="value", qs=(0.5,))
+        .to_pandas()
+        .sort_values("g")
+        .reset_index(drop=True)
+    )
+    for r in got.itertuples():
+        v = np.sort(vals[keys == r.g])
+        rank = max(int(np.ceil(0.5 * len(v))) - 1, 0)
+        assert r.q50 == v[rank]
+    assert len(got) == len(np.unique(keys))
