@@ -71,8 +71,14 @@ def chunk_batch(
         c_start, lens
     )
     values = toks.values.take(pa.array(flat_idx, pa.int64()))
+    cum = np.concatenate([[0], np.cumsum(lens)])
+    if cum[-1] >= 2**31:
+        raise ValueError(
+            f"chunk expansion totals {int(cum[-1])} tokens (>= 2^31) in one "
+            "batch — lower the batch size so list offsets fit int32"
+        )
     chunk_lists = pa.ListArray.from_arrays(
-        pa.array(np.concatenate([[0], np.cumsum(lens)]).astype(np.int32), pa.int32()),
+        pa.array(cum.astype(np.int32), pa.int32()),
         values,
     )
     chunk_text = pc.binary_join(chunk_lists, " ")

@@ -99,7 +99,10 @@ def hll_count(ds, col: str, *, p: int = 14, num_reduce_buckets: int = 32) -> flo
     def partial(batch: pa.Table) -> pa.Table:
         keys = batch.column(col).to_numpy(zero_copy_only=False).astype(np.int64)
         regs = _hll_partial(keys, p)
-        bk = int(splitmix64(np.uint64(len(keys))) % num_reduce_buckets)
+        # route by batch CONTENT, not length — equal-sized batches would
+        # otherwise all collide into one reduce group
+        seed = np.uint64(keys[0]) ^ np.uint64(len(keys)) if len(keys) else np.uint64(0)
+        bk = int(splitmix64(seed) % num_reduce_buckets)
         return pa.table(
             {
                 "bucket": pa.array([bk], pa.int32()),
@@ -209,7 +212,8 @@ def heavy_hitters(
             return_counts=True,
         )
         vals, cnts, d = _mg_compress(vals, cnts.astype(np.int64), k)
-        bk = int(splitmix64(np.uint64(len(batch))) % num_reduce_buckets)
+        seed = np.uint64(vals[0]) ^ np.uint64(len(batch)) if len(vals) else np.uint64(0)
+        bk = int(splitmix64(seed) % num_reduce_buckets)
         n = len(vals)
         return pa.table(
             {
