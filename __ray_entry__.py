@@ -1305,6 +1305,25 @@ def q_chunk_docs(sf_dir: str):
     )
 
 
+def q_decontam_docs(sf_dir: str):
+    """Benchmark decontamination: flag documents sharing any word
+    8-gram with a 'benchmark' subset (doc_id % 101 == 0 stands in for
+    the eval set). Broadcast blocklist (one ray.put, zero shuffles),
+    distributed twin property-tested in pytest; DuckDB-oracled via an
+    explode + string join."""
+    from ingest_ray.functions.decontam import decontaminate
+
+    def bench_rows(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(ids % 101 == 0))
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    bench = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        bench_rows, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return decontaminate(docs, bench, n=8)
+
+
 def q_distinct_custkeys_orders(sf_dir: str):
     """Exact distributed COUNT(DISTINCT): per-batch pre-dedup, one
     hash-bucket exchange, driver sums 64 scalars. (The approximate
@@ -1398,6 +1417,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "radius_customers": q_radius_customers,
         "bbox_join_customers": q_bbox_join_customers,
         "chunk_docs": q_chunk_docs,
+        "decontam_docs": q_decontam_docs,
         "distinct_custkeys_orders": q_distinct_custkeys_orders,
         "shuffle_docs": q_shuffle_docs,
         "pivot_events": q_pivot_events,
@@ -1804,6 +1824,15 @@ def oracle_sql() -> dict[str, str]:
                    CAST(LEAST(i*24 + 32, n) - i*24 AS INT) AS n_tok,
                    array_to_string(l[i*24 + 1 : LEAST(i*24 + 32, n)], ' ') AS chunk_text
             FROM e
+        """,
+        "decontam_docs": """
+            WITH tok AS (SELECT doc_id, string_split(text, ' ') AS l,
+                                len(string_split(text, ' ')) AS nt FROM documents),
+            g AS (SELECT doc_id, array_to_string(l[i+1 : i+8], ' ') AS gram
+                  FROM tok, unnest(range(nt - 8 + 1)) t(i) WHERE nt >= 8),
+            bl AS (SELECT DISTINCT gram FROM g WHERE doc_id % 101 = 0),
+            hits AS (SELECT DISTINCT d.doc_id, d.gram FROM g d JOIN bl USING (gram))
+            SELECT doc_id, count(*)::BIGINT AS n_hits FROM hits GROUP BY doc_id
         """,
         "distinct_custkeys_orders": """
             SELECT count(DISTINCT o_custkey)::BIGINT AS n_distinct FROM orders
