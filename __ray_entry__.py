@@ -1305,6 +1305,20 @@ def q_chunk_docs(sf_dir: str):
     )
 
 
+def q_span_dedup_docs(sf_dir: str):
+    """Span-level exact dedup with reassembly (the C4/RefinedWeb
+    repeated-span hygiene step): split each doc into 2-token word
+    windows, keep each distinct span only at its globally first
+    (doc_id, ord) occurrence, drop the rest, and rebuild surviving
+    docs in order. Two bounded exchanges (span-hash buckets, then
+    doc-hash buckets), per-batch combiner pre-dedup bounds hot spans
+    at one exchange row per input batch. DuckDB-oracled end to end
+    (rebuilt text + kept-span counts)."""
+    from ingest_ray.functions.span_dedup import dedup_spans
+
+    return dedup_spans(_read(sf_dir, "documents", ["doc_id", "text"]), window=2)
+
+
 def q_decontam_docs(sf_dir: str):
     """Benchmark decontamination: flag documents sharing any word
     8-gram with a 'benchmark' subset (doc_id % 101 == 0 stands in for
@@ -1417,6 +1431,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "radius_customers": q_radius_customers,
         "bbox_join_customers": q_bbox_join_customers,
         "chunk_docs": q_chunk_docs,
+        "span_dedup_docs": q_span_dedup_docs,
         "decontam_docs": q_decontam_docs,
         "distinct_custkeys_orders": q_distinct_custkeys_orders,
         "shuffle_docs": q_shuffle_docs,
@@ -1812,6 +1827,36 @@ def oracle_sql() -> dict[str, str]:
         "semi_join_customers": """
             SELECT c_custkey, c_name FROM customer c
             WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        """,
+        "span_dedup_docs": """
+            WITH t AS (
+              SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+            ),
+            s AS (
+              SELECT doc_id,
+                     unnest(range(CAST(ceil(len(toks) / 2.0) AS BIGINT))) AS ord,
+                     toks
+              FROM t
+            ),
+            paras AS (
+              SELECT doc_id, ord,
+                     array_to_string(
+                       toks[(ord * 2 + 1):least(ord * 2 + 2, len(toks))], ' '
+                     ) AS span
+              FROM s
+            ),
+            kept AS (
+              SELECT doc_id, ord, span,
+                     row_number() OVER (
+                       PARTITION BY span ORDER BY doc_id, ord
+                     ) AS rn
+              FROM paras
+            )
+            SELECT doc_id,
+                   string_agg(span, ' ' ORDER BY ord) AS text,
+                   count(*)::BIGINT AS n_kept
+            FROM kept WHERE rn = 1
+            GROUP BY doc_id
         """,
         "chunk_docs": """
             WITH n AS (SELECT doc_id, string_split(text, ' ') AS l,

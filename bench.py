@@ -349,6 +349,7 @@ def suite(sf_dir: str) -> dict[str, float]:
         "radius_customers",
         "bbox_join_customers",
         "chunk_docs",
+        "span_dedup_docs",
         "decontam_docs",
         "distinct_custkeys_orders",
         "shuffle_docs",

@@ -363,3 +363,93 @@ def test_label_propagation_components_random_graph(ray_session):
     want = {v: comp_min[find(v)] for v in touched}
     gm = dict(zip(got["node"], got["label"]))
     assert gm == want
+
+
+def _brute_span_dedup(docs, window, delim_join=" "):
+    """Reference span dedup: dict-ordered first occurrence."""
+    spans = []
+    for doc_id, text in docs:
+        toks = text.split(" ")
+        for i in range(0, max(len(toks), 1), window):
+            spans.append((doc_id, i // window, " ".join(toks[i : i + window])))
+    spans.sort(key=lambda r: (r[0], r[1]))
+    seen = set()
+    kept = {}
+    for doc_id, ordn, span in spans:
+        if span in seen:
+            continue
+        seen.add(span)
+        kept.setdefault(doc_id, []).append((ordn, span))
+    out = {}
+    for doc_id, rows in kept.items():
+        rows.sort()
+        out[doc_id] = (delim_join.join(s for _, s in rows), len(rows))
+    return out
+
+
+def test_dedup_spans_window_matches_brute(ray_session):
+    import ray.data as rd
+
+    from ingest_ray.functions.span_dedup import dedup_spans
+
+    rng = np.random.default_rng(11)
+    vocab = [f"w{i}" for i in range(12)]
+    docs = [
+        (int(i), " ".join(rng.choice(vocab, rng.integers(1, 15))))
+        for i in range(80)
+    ]
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([d for d, _ in docs], pa.int64()),
+                "text": pa.array([t for _, t in docs]),
+            }
+        )
+    ).repartition(6)
+    got = dedup_spans(ds, window=3).to_pandas()
+    want = _brute_span_dedup(docs, window=3)
+    gm = {int(r.doc_id): (r.text, int(r.n_kept)) for r in got.itertuples()}
+    assert gm == want
+
+
+def test_dedup_spans_delimiter_mode(ray_session):
+    """Line-delimiter mode: duplicate lines vanish except first."""
+    import ray.data as rd
+
+    from ingest_ray.functions.span_dedup import dedup_spans
+
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3], pa.int64()),
+                "text": pa.array(
+                    ["hello\nworld\nhello", "world\nnew line", "new line\nunique"]
+                ),
+            }
+        )
+    )
+    got = dedup_spans(ds, delimiter="\n").to_pandas()
+    gm = {int(r.doc_id): (r.text, int(r.n_kept)) for r in got.itertuples()}
+    assert gm == {
+        1: ("hello\nworld", 2),
+        2: ("new line", 1),
+        3: ("unique", 1),
+    }
+
+
+def test_dedup_spans_doc_losing_all_spans_dropped(ray_session):
+    import ray.data as rd
+
+    from ingest_ray.functions.span_dedup import dedup_spans
+
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2], pa.int64()),
+                "text": pa.array(["a b", "a b"]),
+            }
+        )
+    )
+    got = dedup_spans(ds, window=2).to_pandas()
+    assert got["doc_id"].tolist() == [1]
+    assert got["text"].tolist() == ["a b"]
