@@ -1319,6 +1319,18 @@ def q_span_dedup_docs(sf_dir: str):
     return dedup_spans(_read(sf_dir, "documents", ["doc_id", "text"]), window=2)
 
 
+def q_repetition_docs(sf_dir: str):
+    """Gopher/MassiveText repetition quality signals per document:
+    token count, distinct-token count, top word-bigram occurrence
+    count, and bigram total — integer numerators/denominators of the
+    published duplicate-token and top-2-gram fractions, so the DuckDB
+    twin hash-matches exactly. Zero shuffles; per-batch Arrow C sorts,
+    no token hashing (string-exact distinct counts)."""
+    from ingest_ray.functions.repetition import repetition_stats
+
+    return repetition_stats(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
 def q_decontam_docs(sf_dir: str):
     """Benchmark decontamination: flag documents sharing any word
     8-gram with a 'benchmark' subset (doc_id % 101 == 0 stands in for
@@ -1432,6 +1444,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bbox_join_customers": q_bbox_join_customers,
         "chunk_docs": q_chunk_docs,
         "span_dedup_docs": q_span_dedup_docs,
+        "repetition_docs": q_repetition_docs,
         "decontam_docs": q_decontam_docs,
         "distinct_custkeys_orders": q_distinct_custkeys_orders,
         "shuffle_docs": q_shuffle_docs,
@@ -1827,6 +1840,38 @@ def oracle_sql() -> dict[str, str]:
         "semi_join_customers": """
             SELECT c_custkey, c_name FROM customer c
             WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        """,
+        "repetition_docs": """
+            WITH t AS (
+              SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+            ),
+            tok AS (
+              SELECT doc_id, unnest(toks) AS w,
+                     unnest(range(len(toks))) AS i
+              FROM t
+            ),
+            d AS (
+              SELECT doc_id, count(*)::BIGINT AS n_tokens,
+                     count(DISTINCT w)::BIGINT AS n_distinct_tokens
+              FROM tok GROUP BY doc_id
+            ),
+            bg AS (
+              SELECT a.doc_id, a.w AS w1, b.w AS w2
+              FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+            ),
+            bgc AS (
+              SELECT doc_id, w1, w2, count(*)::BIGINT AS c
+              FROM bg GROUP BY doc_id, w1, w2
+            ),
+            bstat AS (
+              SELECT doc_id, max(c)::BIGINT AS top_bigram_count,
+                     sum(c)::BIGINT AS n_bigrams
+              FROM bgc GROUP BY doc_id
+            )
+            SELECT d.doc_id, n_tokens, n_distinct_tokens,
+                   coalesce(top_bigram_count, 0)::BIGINT AS top_bigram_count,
+                   coalesce(n_bigrams, 0)::BIGINT AS n_bigrams
+            FROM d LEFT JOIN bstat USING (doc_id)
         """,
         "span_dedup_docs": """
             WITH t AS (

@@ -350,6 +350,7 @@ def suite(sf_dir: str) -> dict[str, float]:
         "bbox_join_customers",
         "chunk_docs",
         "span_dedup_docs",
+        "repetition_docs",
         "decontam_docs",
         "distinct_custkeys_orders",
         "shuffle_docs",

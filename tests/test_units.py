@@ -284,3 +284,36 @@ def test_range_join_matches_bruteforce(ray_session):
     )
     assert len(got) == len(want)
     pd.testing.assert_frame_equal(got[["lid", "k", "t", "rt", "val"]], want)
+
+
+def test_repetition_stats_brute(ray_session):
+    """Integer repetition stats equal a per-doc Python reference."""
+    import collections
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ingest_ray.functions.repetition import repetition_stats
+
+    rng = np.random.default_rng(7)
+    vocab = [f"t{i}" for i in range(6)]
+    docs = [(i, " ".join(rng.choice(vocab, rng.integers(1, 20)))) for i in range(60)]
+    docs.append((60, ""))  # empty text edge: one empty token
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([d for d, _ in docs], pa.int64()),
+                "text": pa.array([t for _, t in docs]),
+            }
+        )
+    ).repartition(5)
+    got = repetition_stats(ds).to_pandas().set_index("doc_id")
+    for doc_id, text in docs:
+        toks = text.split(" ")
+        bigrams = collections.Counter(zip(toks, toks[1:]))
+        row = got.loc[doc_id]
+        assert row["n_tokens"] == len(toks)
+        assert row["n_distinct_tokens"] == len(set(toks))
+        assert row["top_bigram_count"] == (max(bigrams.values()) if bigrams else 0)
+        assert row["n_bigrams"] == max(len(toks) - 1, 0)
