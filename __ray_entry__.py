@@ -1294,6 +1294,44 @@ def q_shuffle_docs(sf_dir: str):
     return global_shuffle_order(_read(sf_dir, "documents", ["doc_id"]))
 
 
+def q_segment_join_customers(sf_dir: str):
+    """Exact segment-intersection join over key-derived integer
+    segments (left = c_custkey ≤ 250, right = all): PBSM grid explode
+    + reference-point dedup, CLRS orientation predicate after the
+    bbox prefilter. Integer coordinates make the cross products exact
+    in both numpy int64/float64 and DuckDB BIGINT — the SQL twin is
+    the same predicate verbatim."""
+    import pyarrow.compute as pc
+
+    from ingest_ray.spatial import segment_intersection_join
+
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+
+    def seg_side(b: pa.Table) -> pa.Table:
+        k = b.column("c_custkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        ax = (k * 73) % 2001
+        ay = (k * 149) % 2001
+        bx = ax + (k * 37) % 401 - 200
+        by = ay + (k * 53) % 401 - 200
+        return pa.table(
+            {
+                "key": pa.array(k, pa.int64()),
+                "ax": pa.array(ax.astype(np.float64), pa.float64()),
+                "ay": pa.array(ay.astype(np.float64), pa.float64()),
+                "bx": pa.array(bx.astype(np.float64), pa.float64()),
+                "by": pa.array(by.astype(np.float64), pa.float64()),
+            }
+        )
+
+    right = cust.map_batches(seg_side, batch_format="pyarrow", zero_copy_batch=True)
+    left = cust.map_batches(
+        lambda b: seg_side(b.filter(pc.less_equal(b.column("c_custkey"), 250))),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return segment_intersection_join(left, right, cell=50.0)
+
+
 def q_chunk_docs(sf_dir: str):
     """Fixed-window token chunking with overlap (window 32, overlap 8)
     — zero-shuffle, Arrow-vectorized; DuckDB-oracled chunk for chunk
@@ -1442,6 +1480,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semi_join_bloom_customers": q_semi_join_bloom_customers,
         "radius_customers": q_radius_customers,
         "bbox_join_customers": q_bbox_join_customers,
+        "segment_join_customers": q_segment_join_customers,
         "chunk_docs": q_chunk_docs,
         "span_dedup_docs": q_span_dedup_docs,
         "repetition_docs": q_repetition_docs,
@@ -1840,6 +1879,38 @@ def oracle_sql() -> dict[str, str]:
         "semi_join_customers": """
             SELECT c_custkey, c_name FROM customer c
             WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        """,
+        "segment_join_customers": """
+            WITH s AS (
+              SELECT c_custkey AS key,
+                     (c_custkey * 73 % 2001)::BIGINT AS x1,
+                     (c_custkey * 149 % 2001)::BIGINT AS y1,
+                     (c_custkey * 73 % 2001 + c_custkey * 37 % 401 - 200)::BIGINT AS x2,
+                     (c_custkey * 149 % 2001 + c_custkey * 53 % 401 - 200)::BIGINT AS y2
+              FROM customer
+            ),
+            cand AS (
+              SELECT l.key AS l_key, r.key AS r_key,
+                     (r.x2 - r.x1) * (l.y1 - r.y1) - (r.y2 - r.y1) * (l.x1 - r.x1) AS d1,
+                     (r.x2 - r.x1) * (l.y2 - r.y1) - (r.y2 - r.y1) * (l.x2 - r.x1) AS d2,
+                     (l.x2 - l.x1) * (r.y1 - l.y1) - (l.y2 - l.y1) * (r.x1 - l.x1) AS d3,
+                     (l.x2 - l.x1) * (r.y2 - l.y1) - (l.y2 - l.y1) * (r.x2 - l.x1) AS d4,
+                     l.x1 AS lx1, l.y1 AS ly1, l.x2 AS lx2, l.y2 AS ly2,
+                     r.x1 AS rx1, r.y1 AS ry1, r.x2 AS rx2, r.y2 AS ry2
+              FROM s l, s r
+              WHERE l.key <= 250
+            )
+            SELECT l_key, r_key FROM cand
+            WHERE (((d1 > 0 AND d2 < 0) OR (d1 < 0 AND d2 > 0))
+                   AND ((d3 > 0 AND d4 < 0) OR (d3 < 0 AND d4 > 0)))
+               OR (d1 = 0 AND lx1 BETWEEN least(rx1, rx2) AND greatest(rx1, rx2)
+                          AND ly1 BETWEEN least(ry1, ry2) AND greatest(ry1, ry2))
+               OR (d2 = 0 AND lx2 BETWEEN least(rx1, rx2) AND greatest(rx1, rx2)
+                          AND ly2 BETWEEN least(ry1, ry2) AND greatest(ry1, ry2))
+               OR (d3 = 0 AND rx1 BETWEEN least(lx1, lx2) AND greatest(lx1, lx2)
+                          AND ry1 BETWEEN least(ly1, ly2) AND greatest(ly1, ly2))
+               OR (d4 = 0 AND rx2 BETWEEN least(lx1, lx2) AND greatest(lx1, lx2)
+                          AND ry2 BETWEEN least(ly1, ly2) AND greatest(ly1, ly2))
         """,
         "repetition_docs": """
             WITH t AS (

@@ -348,6 +348,7 @@ def suite(sf_dir: str) -> dict[str, float]:
         "quantiles_orders",
         "radius_customers",
         "bbox_join_customers",
+        "segment_join_customers",
         "chunk_docs",
         "span_dedup_docs",
         "repetition_docs",

@@ -1384,3 +1384,318 @@ def bbox_overlap_join(
         ).cast(OUT)
 
     return lhs.union(rhs).groupby("bucket").map_groups(per_bucket, batch_format="pyarrow")
+
+
+def _orient(ax, ay, bx, by, cx, cy):
+    """2-D orientation cross product (b−a) × (c−a). Exact for
+    integer-valued inputs within float64's 2⁵³ window (the query
+    harness derives coordinates ≤ ~10⁴, products ≤ ~10⁸) and for
+    int64 arrays outright."""
+    return (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
+
+
+def _segments_intersect(lax, lay, lbx, lby, rax, ray_, rbx, rby) -> np.ndarray:
+    """Vectorized segment-intersection predicate (endpoints inclusive):
+    the classic two-sided orientation test plus the four collinear
+    touch cases (CLRS §33.1 SEGMENTS-INTERSECT, public algorithm)."""
+    d1 = _orient(rax, ray_, rbx, rby, lax, lay)
+    d2 = _orient(rax, ray_, rbx, rby, lbx, lby)
+    d3 = _orient(lax, lay, lbx, lby, rax, ray_)
+    d4 = _orient(lax, lay, lbx, lby, rbx, rby)
+    proper = (((d1 > 0) & (d2 < 0)) | ((d1 < 0) & (d2 > 0))) & (
+        ((d3 > 0) & (d4 < 0)) | ((d3 < 0) & (d4 > 0))
+    )
+
+    def onseg(ax, ay, bx, by, px, py):
+        return (
+            (np.minimum(ax, bx) <= px)
+            & (px <= np.maximum(ax, bx))
+            & (np.minimum(ay, by) <= py)
+            & (py <= np.maximum(ay, by))
+        )
+
+    touch = (
+        ((d1 == 0) & onseg(rax, ray_, rbx, rby, lax, lay))
+        | ((d2 == 0) & onseg(rax, ray_, rbx, rby, lbx, lby))
+        | ((d3 == 0) & onseg(lax, lay, lbx, lby, rax, ray_))
+        | ((d4 == 0) & onseg(lax, lay, lbx, lby, rbx, rby))
+    )
+    return proper | touch
+
+
+_SEG_COLS = ("ax", "ay", "bx", "by")
+
+
+def segment_intersection_join_broadcast(
+    left_ds,
+    right_table: pa.Table,
+    *,
+    left_key: str = "key",
+    right_key: str = "key",
+    chunk: int = 2048,
+):
+    """left segments Dataset ⋈ right segments Table on exact segment
+    intersection (endpoints inclusive) → (l_key, r_key). Broadcast
+    strategy — right side ships once via the object store; per left
+    batch a chunked bbox prefilter then the exact orientation test.
+    Partitioning assumption: right fits one worker; the scale path is
+    :func:`segment_intersection_join` (property-tested equal)."""
+    cols = tuple(
+        right_table.column(c).to_numpy(zero_copy_only=False).astype(np.float64)
+        for c in _SEG_COLS
+    )
+    r_ref = ray.put(
+        (
+            right_table.column(right_key).to_numpy(zero_copy_only=False).astype(np.int64),
+            *cols,
+        )
+    )
+    OUT = pa.schema([pa.field("l_key", pa.int64()), pa.field("r_key", pa.int64())])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        rk, rax, ray_, rbx, rby = ray.get(r_ref)
+        rminx, rmaxx = np.minimum(rax, rbx), np.maximum(rax, rbx)
+        rminy, rmaxy = np.minimum(ray_, rby), np.maximum(ray_, rby)
+        lk = batch.column(left_key).to_numpy(zero_copy_only=False).astype(np.int64)
+        lax, lay, lbx, lby = (
+            batch.column(c).to_numpy(zero_copy_only=False).astype(np.float64)
+            for c in _SEG_COLS
+        )
+        lminx, lmaxx = np.minimum(lax, lbx), np.maximum(lax, lbx)
+        lminy, lmaxy = np.minimum(lay, lby), np.maximum(lay, lby)
+        out_l, out_r = [], []
+        for s in range(0, len(lk), chunk):
+            e = min(s + chunk, len(lk))
+            hit = (
+                (lminx[s:e, None] <= rmaxx[None, :])
+                & (rminx[None, :] <= lmaxx[s:e, None])
+                & (lminy[s:e, None] <= rmaxy[None, :])
+                & (rminy[None, :] <= lmaxy[s:e, None])
+            )
+            li, ri = np.nonzero(hit)
+            li = li + s
+            if len(li):
+                keep = _segments_intersect(
+                    lax[li], lay[li], lbx[li], lby[li],
+                    rax[ri], ray_[ri], rbx[ri], rby[ri],
+                )
+                out_l.append(lk[li[keep]])
+                out_r.append(rk[ri[keep]])
+        l = np.concatenate(out_l) if out_l else np.empty(0, dtype=np.int64)
+        r = np.concatenate(out_r) if out_r else np.empty(0, dtype=np.int64)
+        return pa.table(
+            {"l_key": pa.array(l, pa.int64()), "r_key": pa.array(r, pa.int64())}
+        ).cast(OUT)
+
+    return left_ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def segment_intersection_join(
+    left_ds,
+    right_ds,
+    *,
+    cell: float,
+    left_key: str = "key",
+    right_key: str = "key",
+    num_buckets: int = 64,
+    cover_cap: int = 4096,
+):
+    """Distributed exact segment-intersection join → (l_key, r_key),
+    every intersecting pair exactly once — BOTH sides Datasets, one
+    shuffle, no driver materialization at any segment length.
+
+    Same PBSM + reference-point plan as :func:`bbox_overlap_join`
+    (grid-cell explode on the segment's bbox, hash-bucket shuffle,
+    candidate pairs per exact cell, pair claimed only by the cell
+    owning (max minx, max miny) of the bbox intersection, long
+    segments past ``cover_cap`` cells ride the all-bucket route), with
+    the exact CLRS orientation predicate applied after the bbox
+    prefilter inside each bucket. The reference-point rule is sound
+    here because it only requires a deterministic function of the two
+    bboxes that lands in a shared cover cell — independence from the
+    exact predicate is what lets one plan serve boxes, segments, and
+    any other bbox-bounded geometry.
+    """
+    from .util import splitmix64
+
+    WIRE = pa.schema(
+        [
+            pa.field("bucket", pa.int32()),
+            pa.field("cx", pa.int64()),
+            pa.field("cy", pa.int64()),
+            pa.field("side", pa.int8()),
+            pa.field("big", pa.bool_()),
+            pa.field("key", pa.int64()),
+            pa.field("ax", pa.float64()),
+            pa.field("ay", pa.float64()),
+            pa.field("bx", pa.float64()),
+            pa.field("by", pa.float64()),
+        ]
+    )
+    OUT = pa.schema([pa.field("l_key", pa.int64()), pa.field("r_key", pa.int64())])
+    all_buckets = np.arange(num_buckets, dtype=np.int32)
+
+    def make_explode(side_tag: int, key_col: str):
+        def explode(batch: pa.Table) -> pa.Table:
+            k = batch.column(key_col).to_numpy(zero_copy_only=False).astype(np.int64)
+            ax, ay, bx, by = (
+                batch.column(c).to_numpy(zero_copy_only=False).astype(np.float64)
+                for c in _SEG_COLS
+            )
+            minx, maxx = np.minimum(ax, bx), np.maximum(ax, bx)
+            miny, maxy = np.minimum(ay, by), np.maximum(ay, by)
+            ix0, ix1 = _grid_idx(minx, cell), _grid_idx(maxx, cell)
+            iy0, iy1 = _grid_idx(miny, cell), _grid_idx(maxy, cell)
+            nxf = np.floor(maxx / cell) - np.floor(minx / cell) + 1.0
+            nyf = np.floor(maxy / cell) - np.floor(miny / cell) + 1.0
+            big = (nxf * nyf) > cover_cap
+            nrm = np.flatnonzero(~big)
+            _guard_i32(
+                np.concatenate([ix0[nrm], ix1[nrm]]),
+                np.concatenate([iy0[nrm], iy1[nrm]]),
+                "segment_intersection_join",
+            )
+            nx = (ix1[nrm] - ix0[nrm] + 1).astype(np.int64)
+            ny = (iy1[nrm] - iy0[nrm] + 1).astype(np.int64)
+            rep, within = _range_expand(np.zeros(len(nrm), dtype=np.int64), nx * ny)
+            rows_n = nrm[rep]
+            cx_n = ix0[rows_n] + within // ny[rep]
+            cy_n = iy0[rows_n] + within % ny[rep]
+            bk_n = (splitmix64(_pack_cell(cx_n, cy_n)) % np.uint64(num_buckets)).astype(
+                np.int32
+            )
+            brows = np.flatnonzero(big)
+            rows_b = np.repeat(brows, num_buckets)
+            bk_b = np.tile(all_buckets, len(brows))
+            rows = np.concatenate([rows_n, rows_b])
+            bks = np.concatenate([bk_n, bk_b])
+            cxs = np.concatenate([cx_n, np.zeros(len(rows_b), dtype=np.int64)])
+            cys = np.concatenate([cy_n, np.zeros(len(rows_b), dtype=np.int64)])
+            bigf = np.concatenate(
+                [np.zeros(len(rows_n), dtype=bool), np.ones(len(rows_b), dtype=bool)]
+            )
+            return pa.table(
+                {
+                    "bucket": pa.array(bks, pa.int32()),
+                    "cx": pa.array(cxs, pa.int64()),
+                    "cy": pa.array(cys, pa.int64()),
+                    "side": pa.array(
+                        np.full(len(rows), side_tag, dtype=np.int8), pa.int8()
+                    ),
+                    "big": pa.array(bigf, pa.bool_()),
+                    "key": pa.array(k[rows], pa.int64()),
+                    "ax": pa.array(ax[rows], pa.float64()),
+                    "ay": pa.array(ay[rows], pa.float64()),
+                    "bx": pa.array(bx[rows], pa.float64()),
+                    "by": pa.array(by[rows], pa.float64()),
+                }
+            ).cast(WIRE)
+
+        return explode
+
+    lhs = left_ds.map_batches(
+        make_explode(0, left_key), batch_format="pyarrow", zero_copy_batch=True
+    )
+    rhs = right_ds.map_batches(
+        make_explode(1, right_key), batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        side = t.column("side").to_numpy(zero_copy_only=False)
+        big = t.column("big").to_numpy(zero_copy_only=False)
+        cx = t.column("cx").to_numpy(zero_copy_only=False)
+        cy = t.column("cy").to_numpy(zero_copy_only=False)
+        key = t.column("key").to_numpy(zero_copy_only=False)
+        ax, ay, bx, by = (
+            t.column(c).to_numpy(zero_copy_only=False) for c in _SEG_COLS
+        )
+        minx, maxx = np.minimum(ax, bx), np.maximum(ax, bx)
+        miny, maxy = np.minimum(ay, by), np.maximum(ay, by)
+        bucket_id = int(t.column("bucket")[0].as_py()) if len(t) else 0
+
+        out_l: list[np.ndarray] = []
+        out_r: list[np.ndarray] = []
+
+        def matches(li: np.ndarray, ri: np.ndarray) -> np.ndarray:
+            pre = (
+                (minx[li] <= maxx[ri])
+                & (minx[ri] <= maxx[li])
+                & (miny[li] <= maxy[ri])
+                & (miny[ri] <= maxy[li])
+            )
+            out = np.zeros(len(li), dtype=bool)
+            c = np.flatnonzero(pre)
+            if len(c):
+                out[c] = _segments_intersect(
+                    ax[li[c]], ay[li[c]], bx[li[c]], by[li[c]],
+                    ax[ri[c]], ay[ri[c]], bx[ri[c]], by[ri[c]],
+                )
+            return out
+
+        def rp_cells(li: np.ndarray, ri: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+            rpx = np.maximum(minx[li], minx[ri])
+            rpy = np.maximum(miny[li], miny[ri])
+            return _grid_idx(rpx, cell), _grid_idx(rpy, cell)
+
+        nl = np.flatnonzero((side == 0) & ~big)
+        nr = np.flatnonzero((side == 1) & ~big)
+        if len(nl) and len(nr):
+            pk = _pack_cell(cx, cy)
+            order = nr[np.argsort(pk[nr], kind="stable")]
+            pks = pk[order]
+            lo = np.searchsorted(pks, pk[nl], side="left")
+            hi = np.searchsorted(pks, pk[nl], side="right")
+            li_idx, flat = _range_expand(lo, hi)
+            if len(li_idx):
+                li = nl[li_idx]
+                ri = order[flat]
+                keep = matches(li, ri)
+                li, ri = li[keep], ri[keep]
+                rcx, rcy = rp_cells(li, ri)
+                keep = (rcx == cx[li]) & (rcy == cy[li])
+                out_l.append(key[li[keep]])
+                out_r.append(key[ri[keep]])
+
+        for big_side, nrm_rows in ((0, nr), (1, np.flatnonzero((side == 0) & ~big))):
+            brows = np.flatnonzero((side == big_side) & big)
+            if not len(brows) or not len(nrm_rows):
+                continue
+            for b in brows:
+                bi = np.full(len(nrm_rows), b, dtype=np.int64)
+                li, ri = (bi, nrm_rows) if big_side == 0 else (nrm_rows, bi)
+                keep = matches(li, ri)
+                li, ri = li[keep], ri[keep]
+                if not len(li):
+                    continue
+                rcx, rcy = rp_cells(li, ri)
+                nrm = ri if big_side == 0 else li
+                keep = (rcx == cx[nrm]) & (rcy == cy[nrm])
+                out_l.append(key[li[keep]])
+                out_r.append(key[ri[keep]])
+
+        bl = np.flatnonzero((side == 0) & big)
+        br = np.flatnonzero((side == 1) & big)
+        if len(bl) and len(br):
+            li = np.repeat(bl, len(br))
+            ri = np.tile(br, len(bl))
+            keep = matches(li, ri)
+            li, ri = li[keep], ri[keep]
+            if len(li):
+                rcx, rcy = rp_cells(li, ri)
+                owner = (
+                    splitmix64(_pack_cell(rcx, rcy)) % np.uint64(num_buckets)
+                ).astype(np.int32)
+                keep = owner == bucket_id
+                out_l.append(key[li[keep]])
+                out_r.append(key[ri[keep]])
+
+        if not out_l:
+            return OUT.empty_table()
+        return pa.table(
+            {
+                "l_key": pa.array(np.concatenate(out_l), pa.int64()),
+                "r_key": pa.array(np.concatenate(out_r), pa.int64()),
+            }
+        ).cast(OUT)
+
+    return lhs.union(rhs).groupby("bucket").map_groups(per_bucket, batch_format="pyarrow")

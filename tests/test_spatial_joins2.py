@@ -212,3 +212,127 @@ def test_bbox_overlap_edge_touching_rects(ray_session):
     pairs = sorted((int(r["l_key"]), int(r["r_key"])) for r in got)
     assert pairs == _brute_pairs(lt, rt)
     assert (1, 10) in pairs and (1, 11) in pairs and (2, 10) in pairs
+
+
+def _rand_segs(rng, n, span=2000, max_len=120, key0=0):
+    """Integer-coordinate random segments (orientation tests exact)."""
+    ax = rng.integers(0, span, n)
+    ay = rng.integers(0, span, n)
+    bx = ax + rng.integers(-max_len, max_len + 1, n)
+    by = ay + rng.integers(-max_len, max_len + 1, n)
+    return pa.table(
+        {
+            "key": pa.array(np.arange(key0, key0 + n), pa.int64()),
+            "ax": pa.array(ax.astype(np.float64), pa.float64()),
+            "ay": pa.array(ay.astype(np.float64), pa.float64()),
+            "bx": pa.array(bx.astype(np.float64), pa.float64()),
+            "by": pa.array(by.astype(np.float64), pa.float64()),
+        }
+    )
+
+
+def _brute_seg_pairs(lt, rt):
+    from ingest_ray.spatial import _segments_intersect
+
+    la = {c: lt.column(c).to_numpy() for c in ("key", "ax", "ay", "bx", "by")}
+    ra = {c: rt.column(c).to_numpy() for c in ("key", "ax", "ay", "bx", "by")}
+    nl, nr = len(la["key"]), len(ra["key"])
+    li = np.repeat(np.arange(nl), nr)
+    ri = np.tile(np.arange(nr), nl)
+    hit = _segments_intersect(
+        la["ax"][li], la["ay"][li], la["bx"][li], la["by"][li],
+        ra["ax"][ri], ra["ay"][ri], ra["bx"][ri], ra["by"][ri],
+    )
+    return set(zip(la["key"][li[hit]].tolist(), ra["key"][ri[hit]].tolist()))
+
+
+def test_segment_join_matches_brute(ray_session):
+    import ray.data as rd
+
+    from ingest_ray.spatial import segment_intersection_join
+
+    rng = np.random.default_rng(21)
+    lt = _rand_segs(rng, 250, key0=0)
+    rt = _rand_segs(rng, 300, key0=10_000)
+    got = segment_intersection_join(
+        rd.from_arrow(lt).repartition(4),
+        rd.from_arrow(rt).repartition(5),
+        cell=64.0,
+        num_buckets=16,
+    ).to_pandas()
+    pairs = set(zip(got["l_key"], got["r_key"]))
+    assert len(pairs) == len(got), "duplicate pairs emitted"
+    assert pairs == _brute_seg_pairs(lt, rt)
+
+
+def test_segment_join_big_segment_paths(ray_session):
+    """A segment covering > cover_cap cells rides the all-bucket route;
+    output still equals brute force with no duplicates (incl. big x big
+    collinear overlap)."""
+    import ray.data as rd
+
+    from ingest_ray.spatial import segment_intersection_join
+
+    rng = np.random.default_rng(22)
+    lt = _rand_segs(rng, 120, key0=0)
+    # giant diagonal + giant collinear twin on the right side
+    giant = pa.table(
+        {
+            "key": pa.array([99_991, 99_992], pa.int64()),
+            "ax": pa.array([-1e6, -5e5], pa.float64()),
+            "ay": pa.array([-1e6, -5e5], pa.float64()),
+            "bx": pa.array([1e6, 5e5], pa.float64()),
+            "by": pa.array([1e6, 5e5], pa.float64()),
+        }
+    )
+    lt_big = pa.concat_tables([lt, giant.set_column(0, "key", pa.array([51, 52], pa.int64()))])
+    rt = pa.concat_tables([_rand_segs(rng, 150, key0=10_000), giant])
+    got = segment_intersection_join(
+        rd.from_arrow(lt_big).repartition(3),
+        rd.from_arrow(rt).repartition(4),
+        cell=64.0,
+        num_buckets=8,
+        cover_cap=256,
+    ).to_pandas()
+    pairs = set(zip(got["l_key"], got["r_key"]))
+    assert len(pairs) == len(got), "duplicate pairs emitted"
+    assert pairs == _brute_seg_pairs(lt_big, rt)
+
+
+def test_segment_join_equals_broadcast_twin(ray_session):
+    import ray.data as rd
+
+    from ingest_ray.spatial import (
+        segment_intersection_join,
+        segment_intersection_join_broadcast,
+    )
+
+    rng = np.random.default_rng(23)
+    lt = _rand_segs(rng, 180, key0=0)
+    rt = _rand_segs(rng, 160, key0=5_000)
+    part = segment_intersection_join(
+        rd.from_arrow(lt).repartition(4), rd.from_arrow(rt), cell=100.0
+    ).to_pandas()
+    bcast = segment_intersection_join_broadcast(
+        rd.from_arrow(lt).repartition(4), rt
+    ).to_pandas()
+    assert set(zip(part["l_key"], part["r_key"])) == set(
+        zip(bcast["l_key"], bcast["r_key"])
+    )
+
+
+def test_segment_touch_cases(ray_session):
+    """Endpoint touching, T-junction, collinear overlap, and disjoint
+    collinear segments."""
+    from ingest_ray.spatial import _segments_intersect
+
+    lax = np.array([0.0, 0.0, 0.0, 0.0])
+    lay = np.array([0.0, 0.0, 0.0, 0.0])
+    lbx = np.array([10.0, 10.0, 10.0, 10.0])
+    lby = np.array([0.0, 0.0, 0.0, 0.0])
+    rax = np.array([10.0, 5.0, 5.0, 11.0])
+    ray_ = np.array([0.0, 0.0, 0.0, 0.0])
+    rbx = np.array([20.0, 5.0, 15.0, 20.0])
+    rby = np.array([10.0, 7.0, 0.0, 0.0])
+    got = _segments_intersect(lax, lay, lbx, lby, rax, ray_, rbx, rby)
+    assert got.tolist() == [True, True, True, False]
