@@ -1294,6 +1294,32 @@ def q_shuffle_docs(sf_dir: str):
     return global_shuffle_order(_read(sf_dir, "documents", ["doc_id"]))
 
 
+def q_cluster_customers(sf_dir: str):
+    """Grid-density spatial clustering (GriDBSCAN-style): customers
+    land in integer grid cells (pure key arithmetic, exact in SQL
+    too); 8-connected occupied-cell components — driver union-find on
+    the contracted cell graph below the edge threshold, distributed
+    pointer-jumping label propagation above it; every point labeled
+    with its component's minimum packed cell id. DuckDB-oracled
+    against a recursive-CTE transitive closure."""
+    from ingest_ray.clustering import grid_cluster
+
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+
+    def cells(b: pa.Table) -> pa.Table:
+        k = b.column("c_custkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "key": pa.array(k, pa.int64()),
+                "gx": pa.array((k * 9973 % 36000) // 300, pa.int64()),
+                "gy": pa.array((k * 9949 % 18000) // 300, pa.int64()),
+            }
+        )
+
+    pts = cust.map_batches(cells, batch_format="pyarrow", zero_copy_batch=True)
+    return grid_cluster(pts)
+
+
 def q_segment_join_customers(sf_dir: str):
     """Exact segment-intersection join over key-derived integer
     segments (left = c_custkey ≤ 250, right = all): PBSM grid explode
@@ -1481,6 +1507,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "radius_customers": q_radius_customers,
         "bbox_join_customers": q_bbox_join_customers,
         "segment_join_customers": q_segment_join_customers,
+        "cluster_customers": q_cluster_customers,
         "chunk_docs": q_chunk_docs,
         "span_dedup_docs": q_span_dedup_docs,
         "repetition_docs": q_repetition_docs,
@@ -1879,6 +1906,33 @@ def oracle_sql() -> dict[str, str]:
         "semi_join_customers": """
             SELECT c_custkey, c_name FROM customer c
             WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        """,
+        "cluster_customers": """
+            WITH RECURSIVE
+            pts AS (
+              SELECT c_custkey AS key,
+                     (c_custkey * 9973 % 36000) // 300 AS gx,
+                     (c_custkey * 9949 % 18000) // 300 AS gy
+              FROM customer
+            ),
+            cells AS (
+              SELECT DISTINCT gx, gy, (gx * 100000 + gy)::BIGINT AS id FROM pts
+            ),
+            edges AS (
+              SELECT a.id AS a, b.id AS b
+              FROM cells a JOIN cells b
+              ON abs(a.gx - b.gx) <= 1 AND abs(a.gy - b.gy) <= 1
+                 AND a.id <> b.id
+            ),
+            reach(id, label) AS (
+              SELECT id, id FROM cells
+              UNION
+              SELECT e.a, r.label FROM edges e JOIN reach r ON r.id = e.b
+            ),
+            comp AS (SELECT id, min(label) AS cluster FROM reach GROUP BY id)
+            SELECT p.key, c.cluster
+            FROM pts p
+            JOIN comp c ON (p.gx * 100000 + p.gy)::BIGINT = c.id
         """,
         "segment_join_customers": """
             WITH s AS (

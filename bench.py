@@ -349,6 +349,7 @@ def suite(sf_dir: str) -> dict[str, float]:
         "radius_customers",
         "bbox_join_customers",
         "segment_join_customers",
+        "cluster_customers",
         "chunk_docs",
         "span_dedup_docs",
         "repetition_docs",

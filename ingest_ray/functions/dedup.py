@@ -1024,9 +1024,9 @@ def label_propagation_components(edges_ds, max_iters: int = 20, num_partitions: 
     edge list is too large to union-find on the driver (the stated
     assumption of :func:`minhash_dedup_assign`): iterative min-label
     propagation. Each round: every node takes the minimum label among
-    itself and its neighbors — two Dataset shuffles (join labels onto
-    edge endpoints, then a min-groupby per node). Each round ends with
-    a pointer-jumping shortcut (label ← label(label), one self-join),
+    itself and its neighbors — a label lookup keyed on edge sources,
+    then a min-groupby per destination. Each round ends with a
+    pointer-jumping shortcut (label ← label(label), one self-lookup),
     which turns plain propagation's O(diameter) rounds into
     O(log diameter) — a 2^20-node chain converges inside the default
     ``max_iters=20``. The loop stops early when a propagation round
@@ -1034,14 +1034,88 @@ def label_propagation_components(edges_ds, max_iters: int = 20, num_partitions: 
     aggregate — no driver materialization of the label table), and
     RAISES if the budget is exhausted before convergence rather than
     returning silently-split components.
+
+    All lookups use the tagged-union + hash-bucket groupby pattern
+    (one exchange each) instead of ``Dataset.join``: Ray 2.49's native
+    join crashes (Acero "No match … for key field") when a hash
+    partition materializes from schema-less empty blocks, which any
+    upstream ``map_groups`` with sparse groups produces — exactly the
+    shape :mod:`..clustering` feeds this function.
     """
-    import pyarrow.compute as pc
     from ray.data.aggregate import Min, Sum
 
-    from ..util import effective_num_partitions, tune_shuffle_context
+    from ..util import effective_num_partitions, splitmix64, tune_shuffle_context
 
     tune_shuffle_context()
     nparts = effective_num_partitions(num_partitions)
+
+    WIRE = pa.schema(
+        [
+            pa.field("bucket", pa.int32()),
+            pa.field("k", pa.int64()),
+            pa.field("v", pa.int64()),
+            pa.field("tag", pa.bool_()),
+        ]
+    )
+
+    def _tag_stage(kcol: str, vcol: str, is_lookup: bool):
+        def fn(batch: pa.Table) -> pa.Table:
+            k = batch.column(kcol).to_numpy(zero_copy_only=False).astype(np.int64)
+            v = batch.column(vcol).to_numpy(zero_copy_only=False).astype(np.int64)
+            bucket = (splitmix64(k.view(np.uint64)) % np.uint64(nparts)).astype(
+                np.int32
+            )
+            return pa.table(
+                {
+                    "bucket": pa.array(bucket, pa.int32()),
+                    "k": pa.array(k, pa.int64()),
+                    "v": pa.array(v, pa.int64()),
+                    "tag": pa.array(
+                        np.full(len(k), is_lookup, dtype=bool), pa.bool_()
+                    ),
+                }
+            ).cast(WIRE)
+
+        return fn
+
+    def _kv_lookup(left_ds, lk, lv, lookup_ds, rk, rv, fold, out_schema):
+        """left rows (k, v) matched against unique-key lookup (k → lv);
+        per bucket one sort + searchsorted; ``fold(k, v, looked_up)``
+        builds the output rows (inner semantics: unmatched drop)."""
+        left = left_ds.map_batches(
+            _tag_stage(lk, lv, False), batch_format="pyarrow", zero_copy_batch=True
+        )
+        right = lookup_ds.map_batches(
+            _tag_stage(rk, rv, True), batch_format="pyarrow", zero_copy_batch=True
+        )
+
+        def per_bucket(g: pa.Table) -> pa.Table:
+            tag = g.column("tag").to_numpy(zero_copy_only=False)
+            k = g.column("k").to_numpy(zero_copy_only=False)
+            v = g.column("v").to_numpy(zero_copy_only=False)
+            lkk, lvv = k[tag], v[tag]
+            order = np.argsort(lkk)
+            lkk, lvv = lkk[order], lvv[order]
+            pk, pv = k[~tag], v[~tag]
+            if len(lkk) == 0 or len(pk) == 0:
+                return out_schema.empty_table()
+            pos = np.searchsorted(lkk, pk)
+            ok = (pos < len(lkk)) & (lkk[np.minimum(pos, len(lkk) - 1)] == pk)
+            return fold(pk[ok], pv[ok], lvv[pos[ok]]).cast(out_schema)
+
+        return left.union(right).groupby("bucket").map_groups(
+            per_bucket, batch_format="pyarrow"
+        )
+
+    LBL = pa.schema([pa.field("node", pa.int64()), pa.field("label", pa.int64())])
+    PROP = pa.schema([pa.field("dst", pa.int64()), pa.field("label", pa.int64())])
+    FOLDED = pa.schema(
+        [
+            pa.field("node", pa.int64()),
+            pa.field("label", pa.int64()),
+            pa.field("changed", pa.int64()),
+        ]
+    )
 
     def undirect(batch: pa.Table) -> pa.Table:
         a = batch.column("a").to_numpy(zero_copy_only=False).astype(np.int64)
@@ -1072,7 +1146,7 @@ def label_propagation_components(edges_ds, max_iters: int = 20, num_partitions: 
                         pa.int64(),
                     ),
                 }
-            ),
+            ).cast(LBL),
             batch_format="pyarrow",
             zero_copy_batch=True,
         )
@@ -1080,71 +1154,76 @@ def label_propagation_components(edges_ds, max_iters: int = 20, num_partitions: 
     )
     for _ in range(max_iters):
         # propose: each edge carries its src's current label to dst
-        proposals = edges.join(
+        proposals = _kv_lookup(
+            edges,
+            "src",
+            "dst",
             labels,
-            join_type="inner",
-            num_partitions=nparts,
-            on=("src",),
-            right_on=("node",),
-        ).select_columns(["dst", "label"])
+            "node",
+            "label",
+            lambda k, v, lv: pa.table(
+                {"dst": pa.array(v, pa.int64()), "label": pa.array(lv, pa.int64())}
+            ),
+            PROP,
+        )
         new_labels = (
             proposals.groupby("dst")
             .aggregate(Min("label", alias_name="nl"))
             .rename_columns({"dst": "node"})
         )
-        # join old to detect convergence AND keep min(old, proposed)
-        merged = labels.join(
+        # merge old labels with proposals to detect convergence AND
+        # keep min(old, proposed); every node appears in edges both
+        # ways, so the lookup is total
+        folded = _kv_lookup(
+            labels,
+            "node",
+            "label",
             new_labels,
-            join_type="inner",  # every node appears in edges both ways
-            num_partitions=nparts,
-            on=("node",),
-        )
-
-        def fold(t: pa.Table) -> pa.Table:
-            old = t.column("label").to_numpy(zero_copy_only=False)
-            nl = t.column("nl").to_numpy(zero_copy_only=False)
-            lab = np.minimum(old, nl)
-            return pa.table(
+            "node",
+            "nl",
+            lambda k, v, lv: pa.table(
                 {
-                    "node": t.column("node"),
-                    "label": pa.array(lab, pa.int64()),
-                    "changed": pa.array((lab != old).astype(np.int64), pa.int64()),
+                    "node": pa.array(k, pa.int64()),
+                    "label": pa.array(np.minimum(v, lv), pa.int64()),
+                    "changed": pa.array(
+                        (np.minimum(v, lv) != v).astype(np.int64), pa.int64()
+                    ),
                 }
-            )
-
-        folded = merged.map_batches(
-            fold, batch_format="pyarrow", zero_copy_batch=True
+            ),
+            FOLDED,
         ).materialize()
         changed = folded.aggregate(Sum("changed", alias_name="n"))["n"]
-        labels = folded.select_columns(["node", "label"]).materialize()
+        # coalesce to nparts blocks: every union+groupby in this loop
+        # emits as many blocks as it receives, so without this the
+        # label block count (and task count) grows ~4x per round
+        labels = (
+            folded.select_columns(["node", "label"])
+            .repartition(nparts)
+            .materialize()
+        )
         if not changed:
             # propagation fixed point: labels constant across every
             # edge, hence equal to the component minimum — converged
             return labels
         # pointer jumping: label ← min(label, label(label)). Every
         # label value is itself a node id present in `labels`, so the
-        # inner self-join is total; this halves the distance to the
+        # inner self-lookup is total; this halves the distance to the
         # component minimum each round (O(log diameter) overall).
-        jumped = labels.join(
-            labels.rename_columns({"node": "jn", "label": "jl"}),
-            join_type="inner",
-            num_partitions=nparts,
-            on=("label",),
-            right_on=("jn",),
-        )
-
-        def jump(t: pa.Table) -> pa.Table:
-            lab = np.minimum(
-                t.column("label").to_numpy(zero_copy_only=False),
-                t.column("jl").to_numpy(zero_copy_only=False),
-            )
-            return pa.table(
-                {"node": t.column("node"), "label": pa.array(lab, pa.int64())}
-            )
-
-        labels = jumped.map_batches(
-            jump, batch_format="pyarrow", zero_copy_batch=True
-        ).materialize()
+        labels = _kv_lookup(
+            labels,
+            "label",
+            "node",
+            labels,
+            "node",
+            "label",
+            lambda k, v, lv: pa.table(
+                {
+                    "node": pa.array(v, pa.int64()),
+                    "label": pa.array(np.minimum(k, lv), pa.int64()),
+                }
+            ),
+            LBL,
+        ).repartition(nparts).materialize()
     last = locals().get("changed", "n/a (zero rounds ran)")
     raise RuntimeError(
         f"label_propagation_components did not converge in {max_iters} rounds "

