@@ -1081,6 +1081,17 @@ def q_ivf_ann(sf_dir: str):
     return ivf_topk(queries_ds, corpus, k=5, nlist=32, nprobe=8)
 
 
+def q_kmeans_embeddings(sf_dir: str):
+    """Distributed k-means over the embeddings table (Lloyd's, 6
+    rounds, k=8): centroids broadcast per round, one streaming pass of
+    per-batch partial sums — no shuffle, O(k*dim) driver state.
+    Iterative, so no SQL oracle; pytest pins bit-level agreement with
+    a numpy reference (tests/test_kmeans.py)."""
+    from ingest_ray.functions.kmeans import kmeans
+
+    return kmeans(_read(sf_dir, "embeddings"), k=8, n_iters=6)
+
+
 def q_anti_join_customers(sf_dir: str):
     """Customers with no order above 450k — distributed NOT EXISTS
     (broadcast distinct-key plan here; the >limit plan is the
@@ -1564,6 +1575,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
         "lsh_ann": q_lsh_ann,
         "ivf_ann": q_ivf_ann,
+        "kmeans_embeddings": q_kmeans_embeddings,
     }
 
 

@@ -336,6 +336,7 @@ def suite(sf_dir: str) -> dict[str, float]:
         "pip_geo_part",
         "knn_geo_part",
         "ivf_ann",
+        "kmeans_embeddings",
         "asof_events_orders",
         "range_orders_lineitem",
         "sliding_window_events",
