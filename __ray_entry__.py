@@ -1081,6 +1081,17 @@ def q_ivf_ann(sf_dir: str):
     return ivf_topk(queries_ds, corpus, k=5, nlist=32, nprobe=8)
 
 
+def q_quality_filter_docs(sf_dir: str):
+    """Per-language quality-threshold filter: keep documents whose
+    n_chars is at or above their language's exact median
+    (quantile_disc rank). Thresholds = one row per language →
+    broadcast once; the corpus never shuffles."""
+    from ingest_ray.functions.grouped import filter_by_group_quantile
+
+    docs = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+    return filter_by_group_quantile(docs, key="lang", value="n_chars", q=0.5)
+
+
 def q_kmeans_embeddings(sf_dir: str):
     """Distributed k-means over the embeddings table (Lloyd's, 6
     rounds, k=8): centroids broadcast per round, one streaming pass of
@@ -1576,6 +1587,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lsh_ann": q_lsh_ann,
         "ivf_ann": q_ivf_ann,
         "kmeans_embeddings": q_kmeans_embeddings,
+        "quality_filter_docs": q_quality_filter_docs,
     }
 
 
@@ -1908,6 +1920,15 @@ def oracle_sql() -> dict[str, str]:
                    length(regexp_replace(text, '[^A-Z]', '', 'g'))::BIGINT AS n_upper,
                    (CASE WHEN trim(text) = '' THEN 1 ELSE 0 END)::BIGINT AS blank
             FROM documents
+        """,
+        "quality_filter_docs": """
+            WITH m AS (
+              SELECT lang, quantile_disc(n_chars, 0.5) AS med
+              FROM documents GROUP BY lang
+            )
+            SELECT d.doc_id, d.lang, d.n_chars
+            FROM documents d JOIN m USING (lang)
+            WHERE d.n_chars >= m.med
         """,
         "anti_join_customers": """
             SELECT c_custkey, c_name FROM customer c

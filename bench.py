@@ -337,6 +337,7 @@ def suite(sf_dir: str) -> dict[str, float]:
         "knn_geo_part",
         "ivf_ann",
         "kmeans_embeddings",
+        "quality_filter_docs",
         "asof_events_orders",
         "range_orders_lineitem",
         "sliding_window_events",

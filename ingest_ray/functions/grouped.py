@@ -158,3 +158,58 @@ def grouped_quantiles(
         .groupby("bucket")
         .map_groups(per_bucket, batch_format="pandas")
     )
+
+
+def filter_by_group_quantile(
+    ds,
+    *,
+    key: str,
+    value: str,
+    q: float = 0.5,
+    num_buckets: int = 64,
+):
+    """Keep rows whose ``value`` ≥ their group's exact q-quantile
+    (``quantile_disc`` rank semantics) — the per-language
+    quality-threshold filter of a training-data pipeline.
+
+    The threshold table from :func:`grouped_quantiles` has ONE row per
+    group (languages, domains — sublinear in corpus size by contract),
+    so it broadcasts via ``ray.put`` once and every batch filters with
+    one searchsorted; the corpus itself never shuffles.
+    """
+    import ray
+
+    from .multimodal import hash64_str
+
+    th = grouped_quantiles(
+        ds, key=key, value=value, qs=(q,), names=("th",), num_buckets=num_buckets
+    )
+    parts = list(th.iter_batches(batch_size=1 << 20, batch_format="pyarrow"))
+    tt = pa.concat_tables(parts) if parts else None
+    if tt is None or len(tt) == 0:
+        return ds.limit(0)
+    kcol = tt.column(key)
+    string_key = pa.types.is_string(kcol.type) or pa.types.is_large_string(kcol.type)
+    if string_key:
+        kv = hash64_str(kcol.to_pylist())
+    else:
+        kv = kcol.to_numpy(zero_copy_only=False).astype(np.uint64)
+    order = np.argsort(kv)
+    thresholds_ref = ray.put(
+        (kv[order], tt.column("th").to_numpy(zero_copy_only=False)[order])
+    )
+
+    def keep(batch: pa.Table) -> pa.Table:
+        keys, ths = ray.get(thresholds_ref)
+        col = batch.column(key)
+        if string_key:
+            bk = hash64_str(col.to_pylist())
+        else:
+            bk = col.to_numpy(zero_copy_only=False).astype(np.uint64)
+        pos = np.searchsorted(keys, bk)
+        pos = np.minimum(pos, len(keys) - 1)
+        # every row's group exists in the threshold table by construction
+        v = batch.column(value).to_numpy(zero_copy_only=False).astype(np.float64)
+        return batch.filter(pa.array(v >= ths[pos]))
+
+    return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)

@@ -455,3 +455,49 @@ def test_grouped_quantiles_matches_reference(ray_session):
         rank = max(int(np.ceil(0.5 * len(v))) - 1, 0)
         assert r.q50 == v[rank]
     assert len(got) == len(np.unique(keys))
+
+
+def test_filter_by_group_quantile_matches_reference(ray_session):
+    import ray.data as rd
+
+    from ingest_ray.functions.grouped import filter_by_group_quantile
+
+    rng = np.random.default_rng(53)
+    n = 5_000
+    langs = np.array(["en", "de", "fr", "zz"])[rng.integers(0, 4, n)]
+    vals = rng.integers(0, 1000, n).astype(np.int64)
+    t = pa.table(
+        {
+            "id": pa.array(np.arange(n, dtype=np.int64)),
+            "lang": pa.array(langs.tolist(), pa.string()),
+            "v": pa.array(vals, pa.int64()),
+        }
+    )
+    got = (
+        filter_by_group_quantile(
+            rd.from_arrow(t).repartition(6), key="lang", value="v", q=0.5
+        )
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    keep = np.zeros(n, dtype=bool)
+    for lang in np.unique(langs):
+        sel = langs == lang
+        v = np.sort(vals[sel])
+        med = v[max(int(np.ceil(0.5 * len(v))) - 1, 0)]
+        keep[sel] = vals[sel] >= med
+    assert got["id"].tolist() == np.flatnonzero(keep).tolist()
+
+
+def test_filter_by_group_quantile_empty_input(ray_session):
+    import ray.data as rd
+
+    from ingest_ray.functions.grouped import filter_by_group_quantile
+
+    t = pa.table(
+        {"id": pa.array([], pa.int64()), "lang": pa.array([], pa.string()),
+         "v": pa.array([], pa.int64())}
+    )
+    out = filter_by_group_quantile(rd.from_arrow(t), key="lang", value="v")
+    assert out.count() == 0
