@@ -32,6 +32,27 @@ import time
 REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 
+# Ray 2.49's sort-based shuffle emits zero-column blocks for empty
+# partitions, so EVERY schema-pinned groupby().map_groups() logs
+# "RefBundle with a different schema ... new schema: ." (reproducible
+# with a 3-group/8-partition minimal example — no user code involved).
+# The user-fixable class (pandas dtype drift on empty groups) is fixed
+# by casting every group output to a pa.schema; drop the remaining
+# Ray-internal artifact so real warnings stay visible in the tail.
+# A logger FILTER (not setLevel) because ray.data's dictConfig resets
+# child-logger levels — but not filters — at first dataset execution.
+import logging as _logging
+
+
+class _DropSchemaNoise(_logging.Filter):
+    def filter(self, record: _logging.LogRecord) -> bool:
+        return "different schema" not in record.getMessage()
+
+
+_logging.getLogger(
+    "ray.data._internal.execution.streaming_executor_state"
+).addFilter(_DropSchemaNoise())
+
 DEFAULT_SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 BENCH_ELEMENTS_PER_SF = 30_000_000  # sf0.1 -> 3M elements (~420k feature rows)
 
