@@ -185,7 +185,10 @@ def synth_elements(n: int, seed: int = 42, hotspot_frac: float = 0.2, _docs_form
     (outer+inner pair, type=multipolygon).
     """
     idx = np.arange(n, dtype=np.uint64)
-    h1 = splitmix64(idx + np.uint64(seed) * np.uint64(0x9E3779B97F4A7C15))
+    # wrap-around multiply in Python ints (np scalar uint64 * would
+    # RuntimeWarning on the intentional overflow)
+    salt = np.uint64((seed * 0x9E3779B97F4A7C15) % (1 << 64))
+    h1 = splitmix64(idx + salt)
     h2 = splitmix64(h1)
     h3 = splitmix64(h2)
 
