@@ -32,6 +32,9 @@ PROBE_OK_S = 0.6
 # can judge the conditions
 GRACE_S = int(os.environ.get("CAMPAIGN_GRACE_S", str(45 * 60)))
 DEGRADED_FACTOR = float(os.environ.get("CAMPAIGN_DEGRADED_FACTOR", "1.5"))
+# last resort: past this point run at the next poll no matter what —
+# a measurement with its conditions recorded beats no measurement
+FORCE_S = int(os.environ.get("CAMPAIGN_FORCE_S", str(2 * 3600)))
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
@@ -83,9 +86,10 @@ def main() -> int:
         degraded_ok = (
             elapsed > GRACE_S and p <= max(best_probe * DEGRADED_FACTOR, PROBE_OK_S)
         )
+        forced = elapsed > FORCE_S
         log(f"probe {p:.3f}s (clean<{PROBE_OK_S}; best {best_probe:.3f}; "
-            f"degraded_ok={degraded_ok}); remaining {remaining}")
-        if not (clean or degraded_ok):
+            f"degraded_ok={degraded_ok}; forced={forced}); remaining {remaining}")
+        if not (clean or degraded_ok or forced):
             time.sleep(120)
             continue
         pairing = remaining[0]
