@@ -53,12 +53,25 @@ def kmeans_fit(
     """→ (k, dim) float64 centroid matrix after ``n_iters`` Lloyd
     rounds. Empty clusters keep their previous centroid (standard
     Lloyd fallback, deterministic)."""
-    seed_rows = (
-        ds.select_columns([id_col, emb_col]).sort(id_col).limit(k).take_all()
+    # deterministic init: the k smallest ids. A per-batch k-smallest
+    # combiner + driver merge of k rows per block — not ds.sort(),
+    # which would all-to-all-shuffle the whole corpus for k rows.
+    def k_smallest(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        sel = np.argsort(ids, kind="stable")[:k]
+        return batch.select([id_col, emb_col]).take(pa.array(sel, pa.int64()))
+
+    cand = pa.concat_tables(
+        list(
+            ds.map_batches(
+                k_smallest, batch_format="pyarrow", zero_copy_batch=True
+            ).iter_batches(batch_size=None, batch_format="pyarrow")
+        )
     )
-    if len(seed_rows) < k:
-        raise ValueError(f"kmeans_fit: k={k} exceeds corpus size {len(seed_rows)}")
-    cents = np.asarray([r[emb_col] for r in seed_rows], dtype=np.float64)
+    if len(cand) < k:
+        raise ValueError(f"kmeans_fit: k={k} exceeds corpus size {len(cand)}")
+    order = np.argsort(cand.column(id_col).to_numpy(zero_copy_only=False))[:k]
+    cents = _list_matrix(cand.column(emb_col).take(pa.array(order, pa.int64())))
     dim = cents.shape[1]
 
     for _ in range(n_iters):
