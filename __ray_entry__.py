@@ -1081,6 +1081,16 @@ def q_ivf_ann(sf_dir: str):
     return ivf_topk(queries_ds, corpus, k=5, nlist=32, nprobe=8)
 
 
+def q_kcenter_embeddings(sf_dir: str):
+    """Greedy k-center diversity selection over the embeddings table
+    (Gonzalez farthest-point, k=12): per round one streaming pass,
+    one row per block on the wire, corpus never shuffles. Iterative,
+    so no SQL oracle; pytest pins equality with a numpy reference."""
+    from ingest_ray.functions.kcenter import kcenter_select
+
+    return kcenter_select(_read(sf_dir, "embeddings"), k=12)
+
+
 def q_quality_filter_docs(sf_dir: str):
     """Per-language quality-threshold filter: keep documents whose
     n_chars is at or above their language's exact median
@@ -1588,6 +1598,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ivf_ann": q_ivf_ann,
         "kmeans_embeddings": q_kmeans_embeddings,
         "quality_filter_docs": q_quality_filter_docs,
+        "kcenter_embeddings": q_kcenter_embeddings,
     }
 
 

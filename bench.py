@@ -359,6 +359,7 @@ def suite(sf_dir: str) -> dict[str, float]:
         "ivf_ann",
         "kmeans_embeddings",
         "quality_filter_docs",
+        "kcenter_embeddings",
         "asof_events_orders",
         "range_orders_lineitem",
         "sliding_window_events",
