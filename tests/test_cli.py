@@ -99,3 +99,35 @@ def test_staged_ingest_resume(tmp_path):
     # fully committed → returns features without touching documents
     again = collect(staged_ingest(None, out, cfg))
     assert again.equals(first)
+
+
+def test_jsonl_documents_source_feature_parity(ray_session, tmp_path):
+    """A JSONL corpus must flow through the flagship pipeline with
+    byte-identical features to the Arrow/Parquet path (format-agnostic
+    span schema)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from ingest_ray.config import EngineConfig
+    from ingest_ray.io import read_documents_jsonl, write_documents_jsonl
+    from ingest_ray.pipeline import ingest_features
+    from ingest_ray.synth import synth_documents
+
+    t = synth_documents(600)
+    out = str(tmp_path / "docs_jsonl")
+    write_documents_jsonl(rd.from_arrow(t).repartition(3), out)
+    back = read_documents_jsonl(out)
+    cfg = EngineConfig(join_mode="broadcast")
+    a = (
+        ingest_features(rd.from_arrow(t), cfg)
+        .to_pandas()
+        .sort_values("key")
+        .reset_index(drop=True)
+    )
+    b = (
+        ingest_features(back, cfg)
+        .to_pandas()
+        .sort_values("key")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
