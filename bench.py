@@ -164,6 +164,129 @@ def run_worker(num_cpus: int, sf_dir: str, corpus: str | None = None, join_mode:
     print("WORKER_RESULT " + json.dumps(res))
 
 
+def run_control_worker(num_cpus: int, corpus: str) -> None:
+    """Compute-bound control leg: 64-hash MinHash sketching of every
+    document in the corpus (shingle FNV + 64 splitmix passes per doc —
+    a REAL dedup stage, ~10-30x more arithmetic per byte read than the
+    flagship parse). If CPU-count scaling of THIS pipeline is high
+    while the flagship's is low, the flagship's limiter is the box's
+    memory system, not engine serialization."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+
+    load0 = os.getloadavg()[0]
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False)
+    try:
+        import ray.data as rd
+
+        from ingest_ray.functions.dedup import (
+            band_hash_matrix,
+            minhash_matrix,
+            shingle_hashes_batch,
+        )
+        from ingest_ray.util import cluster_cpus
+
+        rd.range(num_cpus * 4, override_num_blocks=num_cpus * 4).map_batches(
+            lambda b: b, batch_format="pyarrow"
+        ).materialize()
+
+        def sketch(batch: pa.Table) -> pa.Table:
+            spans = batch.column("spans")
+            if isinstance(spans, pa.ChunkedArray):
+                spans = spans.combine_chunks()
+            # doc text = its span texts joined (list<struct> -> list<string>)
+            texts_list = pa.ListArray.from_arrays(
+                spans.offsets, spans.values.field("text")
+            )
+            texts = pc.binary_join(texts_list, " ").to_pylist()
+            flat, offs = shingle_hashes_batch(texts, n=3)
+            sig = minhash_matrix(flat, offs, num_hashes=64)
+            bh = band_hash_matrix(sig, 16)
+            return pa.table(
+                {
+                    "doc_id": batch.column("doc_id"),
+                    "b0": pa.array(bh[:, 0].view(np.int64), pa.int64()),
+                }
+            )
+
+        docs = rd.read_parquet(
+            corpus, override_num_blocks=max(4 * cluster_cpus(), 64)
+        )
+        t0 = time.perf_counter()
+        n_docs = docs.map_batches(
+            sketch, batch_format="pyarrow", zero_copy_batch=True
+        ).count()
+        elapsed = time.perf_counter() - t0
+    finally:
+        ray.shutdown()
+    print(
+        "WORKER_RESULT "
+        + json.dumps(
+            {
+                "docs": n_docs,
+                "docs_per_s": round(n_docs / elapsed, 1),
+                "elapsed_s": round(elapsed, 2),
+                "num_cpus": num_cpus,
+                "load_1m_start": round(load0, 2),
+                "load_1m_end": round(os.getloadavg()[0], 2),
+            }
+        )
+    )
+
+
+def run_scaling_control() -> None:
+    """Fresh-process compute-bound control legs at SCALING_CPUS —
+    the engine-vs-box discriminator companion to --scaling."""
+    n = int(os.environ.get("GRAFT_CONTROL_ELEMENTS", "12000000"))
+    corpus = f"/tmp/ingest_ray_bench/corpus_v3_n{n}"
+    if not os.path.isdir(corpus):
+        from ingest_ray.synth import write_corpus
+
+        write_corpus(corpus, n, num_files=64)
+    lo, hi = SCALING_CPUS
+    runs = {}
+    for cpus in (lo, hi):
+        probe = _fault_probe_s()
+        proc = subprocess.run(
+            [
+                sys.executable,
+                os.path.abspath(__file__),
+                "--control-worker",
+                str(cpus),
+                "--corpus",
+                corpus,
+            ],
+            capture_output=True,
+            text=True,
+            timeout=3600,
+            cwd=REPO,
+        )
+        line = [l for l in proc.stdout.splitlines() if l.startswith("WORKER_RESULT ")]
+        if not line:
+            sys.stderr.write(proc.stdout[-2000:] + "\n" + proc.stderr[-4000:] + "\n")
+            raise RuntimeError(f"control worker at {cpus} cpus failed")
+        r = json.loads(line[-1][len("WORKER_RESULT "):])
+        r["fault_probe_s"] = round(probe, 3)
+        runs[str(cpus)] = r
+    eff = round(
+        (runs[str(hi)]["docs_per_s"] / runs[str(lo)]["docs_per_s"]) / (hi / lo), 4
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "control_scaling_minhash",
+                "value": eff,
+                "unit": "efficiency",
+                "runs": runs,
+                "scaling_cpus": [lo, hi],
+                "match": runs[str(lo)]["docs"] == runs[str(hi)]["docs"],
+            }
+        )
+    )
+
+
 # 120M elements: the smallest corpus where parallel work dominates the
 # measured ~18 s fixed floor enough for the CPU-count stand-in to reflect
 # cluster-size scaling (P/S fit in BASELINE.md; 30M measures the floor,
@@ -390,7 +513,9 @@ def suite(sf_dir: str) -> dict[str, float]:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--scaling-control", action="store_true")
     ap.add_argument("--worker", type=int, default=None)
+    ap.add_argument("--control-worker", type=int, default=None)
     ap.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
     ap.add_argument("--corpus", default=None)
     ap.add_argument("--join-mode", default="auto", choices=["auto", "broadcast", "shuffle"])
@@ -399,8 +524,14 @@ def main() -> None:
     if args.worker is not None:
         run_worker(args.worker, args.sf_dir, corpus=args.corpus, join_mode=args.join_mode)
         return
+    if args.control_worker is not None:
+        run_control_worker(args.control_worker, args.corpus)
+        return
     if args.scaling:
         run_scaling(args.sf_dir)
+        return
+    if args.scaling_control:
+        run_scaling_control()
         return
 
     import ray

@@ -1042,7 +1042,7 @@ def label_propagation_components(edges_ds, max_iters: int = 20, num_partitions: 
     upstream ``map_groups`` with sparse groups produces — exactly the
     shape :mod:`..clustering` feeds this function.
     """
-    from ray.data.aggregate import Min, Sum
+    from ray.data.aggregate import Min, Sum  # Min: round-0 label init
 
     from ..util import effective_num_partitions, splitmix64, tune_shuffle_context
 
@@ -1108,7 +1108,6 @@ def label_propagation_components(edges_ds, max_iters: int = 20, num_partitions: 
         )
 
     LBL = pa.schema([pa.field("node", pa.int64()), pa.field("label", pa.int64())])
-    PROP = pa.schema([pa.field("dst", pa.int64()), pa.field("label", pa.int64())])
     FOLDED = pa.schema(
         [
             pa.field("node", pa.int64()),
@@ -1153,7 +1152,13 @@ def label_propagation_components(edges_ds, max_iters: int = 20, num_partitions: 
         .materialize()
     )
     for _ in range(max_iters):
-        # propose: each edge carries its src's current label to dst
+        # propose + fold, FUSED to two exchanges (instead of lookup +
+        # Min-groupby + lookup = three): exchange A keys edges by
+        # hash(src) to attach src's label; its per-bucket fold emits
+        # proposal rows ALREADY bucketed by hash(dst), so exchange B
+        # can group proposals and old labels together — per bucket one
+        # argsort of proposals gives the per-dst min (np.minimum.reduceat),
+        # merged against the unique old-label rows in the same pass.
         proposals = _kv_lookup(
             edges,
             "src",
@@ -1162,36 +1167,71 @@ def label_propagation_components(edges_ds, max_iters: int = 20, num_partitions: 
             "node",
             "label",
             lambda k, v, lv: pa.table(
-                {"dst": pa.array(v, pa.int64()), "label": pa.array(lv, pa.int64())}
-            ),
-            PROP,
-        )
-        new_labels = (
-            proposals.groupby("dst")
-            .aggregate(Min("label", alias_name="nl"))
-            .rename_columns({"dst": "node"})
-        )
-        # merge old labels with proposals to detect convergence AND
-        # keep min(old, proposed); every node appears in edges both
-        # ways, so the lookup is total
-        folded = _kv_lookup(
-            labels,
-            "node",
-            "label",
-            new_labels,
-            "node",
-            "nl",
-            lambda k, v, lv: pa.table(
                 {
-                    "node": pa.array(k, pa.int64()),
-                    "label": pa.array(np.minimum(v, lv), pa.int64()),
-                    "changed": pa.array(
-                        (np.minimum(v, lv) != v).astype(np.int64), pa.int64()
+                    "bucket": pa.array(
+                        (splitmix64(v.view(np.uint64)) % np.uint64(nparts)).astype(
+                            np.int32
+                        ),
+                        pa.int32(),
                     ),
+                    "k": pa.array(v, pa.int64()),
+                    "v": pa.array(lv, pa.int64()),
+                    "tag": pa.array(np.zeros(len(v), dtype=bool), pa.bool_()),
                 }
             ),
-            FOLDED,
-        ).materialize()
+            WIRE,
+        )
+        lab_tagged = labels.map_batches(
+            _tag_stage("node", "label", True),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+
+        def fold_bucket(g: pa.Table) -> pa.Table:
+            tag = g.column("tag").to_numpy(zero_copy_only=False)
+            k = g.column("k").to_numpy(zero_copy_only=False)
+            v = g.column("v").to_numpy(zero_copy_only=False)
+            node, old = k[tag], v[tag]
+            pk, pv = k[~tag], v[~tag]
+            if len(node) == 0:
+                return FOLDED.empty_table()
+            if len(pk) == 0:
+                # no proposals reached this bucket: labels unchanged
+                return pa.table(
+                    {
+                        "node": pa.array(node, pa.int64()),
+                        "label": pa.array(old, pa.int64()),
+                        "changed": pa.array(
+                            np.zeros(len(node), dtype=np.int64), pa.int64()
+                        ),
+                    }
+                ).cast(FOLDED)
+            order = np.argsort(pk, kind="stable")
+            pk_s, pv_s = pk[order], pv[order]
+            starts = np.flatnonzero(
+                np.concatenate([[True], pk_s[1:] != pk_s[:-1]])
+            )
+            dst_u = pk_s[starts]
+            nl_u = np.minimum.reduceat(pv_s, starts)
+            # attach per-dst proposal min onto the old labels
+            pos = np.searchsorted(dst_u, node)
+            ok = (pos < len(dst_u)) & (dst_u[np.minimum(pos, len(dst_u) - 1)] == node)
+            new = old.copy()
+            new[ok] = np.minimum(old[ok], nl_u[pos[ok]])
+            return pa.table(
+                {
+                    "node": pa.array(node, pa.int64()),
+                    "label": pa.array(new, pa.int64()),
+                    "changed": pa.array((new != old).astype(np.int64), pa.int64()),
+                }
+            ).cast(FOLDED)
+
+        folded = (
+            proposals.union(lab_tagged)
+            .groupby("bucket")
+            .map_groups(fold_bucket, batch_format="pyarrow")
+            .materialize()
+        )
         changed = folded.aggregate(Sum("changed", alias_name="n"))["n"]
         # coalesce to nparts blocks: every union+groupby in this loop
         # emits as many blocks as it receives, so without this the
