@@ -1044,7 +1044,12 @@ def label_propagation_components(edges_ds, max_iters: int = 20, num_partitions: 
     """
     from ray.data.aggregate import Min, Sum  # Min: round-0 label init
 
-    from ..util import effective_num_partitions, splitmix64, tune_shuffle_context
+    from ..util import (
+        effective_num_partitions,
+        sever_lineage,
+        splitmix64,
+        tune_shuffle_context,
+    )
 
     tune_shuffle_context()
     nparts = effective_num_partitions(num_partitions)
@@ -1126,9 +1131,11 @@ def label_propagation_components(edges_ds, max_iters: int = 20, num_partitions: 
             }
         )
 
-    edges = edges_ds.map_batches(
-        undirect, batch_format="pyarrow", zero_copy_batch=True
-    ).materialize()
+    edges = sever_lineage(
+        edges_ds.map_batches(
+            undirect, batch_format="pyarrow", zero_copy_batch=True
+        ).materialize()
+    )
     # label(node) = min(node, min neighbor) — round 0 fused into the init
     labels = (
         edges.groupby("src")
@@ -1151,6 +1158,7 @@ def label_propagation_components(edges_ds, max_iters: int = 20, num_partitions: 
         )
         .materialize()
     )
+    labels = sever_lineage(labels)
     for _ in range(max_iters):
         # propose + fold, FUSED to two exchanges (instead of lookup +
         # Min-groupby + lookup = three): exchange A keys edges by
@@ -1226,7 +1234,11 @@ def label_propagation_components(edges_ds, max_iters: int = 20, num_partitions: 
                 }
             ).cast(FOLDED)
 
-        folded = (
+        # sever_lineage on every loop-carried materialize: Ray keeps
+        # the full logical plan behind a MaterializedDataset, so the
+        # plan (and planning time) would double per round otherwise —
+        # see ..util.sever_lineage
+        folded = sever_lineage(
             proposals.union(lab_tagged)
             .groupby("bucket")
             .map_groups(fold_bucket, batch_format="pyarrow")
@@ -1236,7 +1248,7 @@ def label_propagation_components(edges_ds, max_iters: int = 20, num_partitions: 
         # coalesce to nparts blocks: every union+groupby in this loop
         # emits as many blocks as it receives, so without this the
         # label block count (and task count) grows ~4x per round
-        labels = (
+        labels = sever_lineage(
             folded.select_columns(["node", "label"])
             .repartition(nparts)
             .materialize()
@@ -1264,6 +1276,7 @@ def label_propagation_components(edges_ds, max_iters: int = 20, num_partitions: 
             ),
             LBL,
         ).repartition(nparts).materialize()
+        labels = sever_lineage(labels)
     last = locals().get("changed", "n/a (zero rounds ran)")
     raise RuntimeError(
         f"label_propagation_components did not converge in {max_iters} rounds "
