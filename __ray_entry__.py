@@ -1081,6 +1081,172 @@ def q_ivf_ann(sf_dir: str):
     return ivf_topk(queries_ds, corpus, k=5, nlist=32, nprobe=8)
 
 
+def q3_shipping(sf_dir: str):
+    """TPC-H Q3 analog (shipping priority): BUILDING-segment customers
+    × orders before the cutoff × lineitems shipped after it; revenue
+    = sum(extendedprice·(1−discount)) per order; top 10 by revenue.
+    Plan: per-batch revenue pre-aggregation on the fact table BEFORE
+    its join (combiner pushdown — lineitem is the big side), segment
+    keys reduced to a key-only join input, two hash joins, grouped-sum,
+    bounded top-k."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from ingest_ray.util import effective_num_partitions, tune_shuffle_context
+
+    tune_shuffle_context()
+    np_eff = effective_num_partitions(8)
+    CUT = pd.Timestamp("1998-06-01")
+
+    cust = (
+        _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+        .filter(expr="c_mktsegment == 'BUILDING'")
+        .select_columns(["c_custkey"])
+    )
+    orders = _read(
+        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"]
+    ).map_batches(
+        lambda b: b.filter(pc.less(b.column("o_orderdate"), pa.scalar(CUT))),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+    def li_revenue(b: pa.Table) -> pa.Table:
+        keep = pc.greater(b.column("l_shipdate"), pa.scalar(CUT))
+        t = b.filter(keep)
+        rev = pc.multiply(
+            t.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), t.column("l_discount")),
+        )
+        part = pa.table({"l_orderkey": t.column("l_orderkey"), "rev": rev})
+        # per-batch combiner: one row per orderkey per batch
+        import numpy as np
+
+        k = part.column("l_orderkey").to_numpy(zero_copy_only=False)
+        v = part.column("rev").to_numpy(zero_copy_only=False)
+        order = np.argsort(k, kind="stable")
+        ks, vs = k[order], v[order]
+        starts = np.flatnonzero(np.concatenate([[True], ks[1:] != ks[:-1]])) if len(ks) else np.empty(0, np.int64)
+        return pa.table(
+            {
+                "l_orderkey": pa.array(ks[starts] if len(ks) else ks, pa.int64()),
+                "rev": pa.array(
+                    np.add.reduceat(vs, starts) if len(ks) else vs, pa.float64()
+                ),
+            }
+        )
+
+    li = (
+        _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"])
+        .map_batches(li_revenue, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("l_orderkey")
+        .aggregate(Sum("rev", alias_name="revenue"))
+    )
+    j = orders.join(cust, join_type="inner", num_partitions=np_eff, on=("o_custkey",), right_on=("c_custkey",))
+    j = j.join(li, join_type="inner", num_partitions=np_eff, on=("o_orderkey",), right_on=("l_orderkey",))
+    out = j.select_columns(["o_orderkey", "o_orderdate", "o_orderpriority", "revenue"])
+    return out.sort(["revenue", "o_orderkey"], descending=[True, False]).limit(10)
+
+
+def q5_local_supplier_volume(sf_dir: str):
+    """TPC-H Q5 analog: ASIA-region revenue by nation where the
+    supplying supplier and ordering customer share a nation — a
+    six-table chain (region→nation→customer→orders→lineitem→supplier).
+    Plan: the two tiny dimension tables reduce to an ASIA nation-key
+    set applied as a FILTER before any join (never a shuffle); the
+    customer and supplier joins carry only keys + nationkey; revenue
+    is computed per batch; the same-nation predicate applies at the
+    final join; one grouped-sum ends the chain."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from ingest_ray.util import effective_num_partitions, tune_shuffle_context
+
+    tune_shuffle_context()
+    np_eff = effective_num_partitions(8)
+    CUT0, CUT1 = pd.Timestamp("1996-01-01"), pd.Timestamp("1998-01-01")
+
+    # driver-side broadcast of the ASIA nation set: region × nation is
+    # dozens of rows by contract
+    region = pa.parquet.read_table(
+        os.path.join(sf_dir, "region.parquet")
+    ).filter(pc.equal(pa.parquet.read_table(os.path.join(sf_dir, "region.parquet")).column("r_name"), "ASIA"))
+    nation = pa.parquet.read_table(os.path.join(sf_dir, "nation.parquet"))
+    asia_keys = nation.filter(
+        pc.is_in(nation.column("n_regionkey"), value_set=region.column("r_regionkey"))
+    )
+    nk_set = pa.array(asia_keys.column("n_nationkey").to_pylist(), pa.int64())
+    nk_to_name = dict(
+        zip(
+            asia_keys.column("n_nationkey").to_pylist(),
+            asia_keys.column("n_name").to_pylist(),
+        )
+    )
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).map_batches(
+        lambda b: b.filter(pc.is_in(b.column("c_nationkey"), value_set=nk_set)),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).map_batches(
+        lambda b: b.filter(pc.is_in(b.column("s_nationkey"), value_set=nk_set)),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]).map_batches(
+        lambda b: b.filter(
+            pc.and_(
+                pc.greater_equal(b.column("o_orderdate"), pa.scalar(CUT0)),
+                pc.less(b.column("o_orderdate"), pa.scalar(CUT1)),
+            )
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+    def li_rev(b: pa.Table) -> pa.Table:
+        rev = pc.multiply(
+            b.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), b.column("l_discount")),
+        )
+        return pa.table(
+            {
+                "l_orderkey": b.column("l_orderkey"),
+                "l_suppkey": b.column("l_suppkey"),
+                "rev": rev,
+            }
+        )
+
+    li = _read(
+        sf_dir, "lineitem", ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"]
+    ).map_batches(li_rev, batch_format="pyarrow", zero_copy_batch=True)
+
+    oc = orders.join(cust, join_type="inner", num_partitions=np_eff, on=("o_custkey",), right_on=("c_custkey",))
+    j = li.join(
+        oc.select_columns(["o_orderkey", "c_nationkey"]),
+        join_type="inner",
+        num_partitions=np_eff,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+    j = j.join(supp, join_type="inner", num_partitions=np_eff, on=("l_suppkey",), right_on=("s_suppkey",))
+
+    def same_nation(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.equal(b.column("c_nationkey"), b.column("s_nationkey")))
+        names = pa.array(
+            [nk_to_name[int(k)] for k in t.column("s_nationkey").to_pylist()],
+            pa.string(),
+        )
+        return pa.table({"n_name": names, "rev": t.column("rev")})
+
+    out = (
+        j.map_batches(same_nation, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("n_name")
+        .aggregate(Sum("rev", alias_name="revenue"))
+    )
+    return out
+
+
 def q_kcenter_embeddings(sf_dir: str):
     """Greedy k-center diversity selection over the embeddings table
     (Gonzalez farthest-point, k=12): per round one streaming pass,
@@ -1599,6 +1765,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_embeddings": q_kmeans_embeddings,
         "quality_filter_docs": q_quality_filter_docs,
         "kcenter_embeddings": q_kcenter_embeddings,
+        "q3_shipping": q3_shipping,
+        "q5_local_supplier_volume": q5_local_supplier_volume,
     }
 
 
@@ -1931,6 +2099,34 @@ def oracle_sql() -> dict[str, str]:
                    length(regexp_replace(text, '[^A-Z]', '', 'g'))::BIGINT AS n_upper,
                    (CASE WHEN trim(text) = '' THEN 1 ELSE 0 END)::BIGINT AS blank
             FROM documents
+        """,
+        "q5_local_supplier_volume": """
+            SELECT n.n_name,
+                   sum(l.l_extendedprice * (1 - l.l_discount)) AS revenue
+            FROM region r
+            JOIN nation n ON n.n_regionkey = r.r_regionkey
+            JOIN customer c ON c.c_nationkey = n.n_nationkey
+            JOIN orders o ON o.o_custkey = c.c_custkey
+            JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                           AND s.s_nationkey = c.c_nationkey
+            WHERE r.r_name = 'ASIA'
+              AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o.o_orderdate < TIMESTAMP '1998-01-01'
+            GROUP BY n.n_name
+        """,
+        "q3_shipping": """
+            SELECT o.o_orderkey, o.o_orderdate, o.o_orderpriority,
+                   sum(l.l_extendedprice * (1 - l.l_discount)) AS revenue
+            FROM customer c
+            JOIN orders o ON o.o_custkey = c.c_custkey
+            JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            WHERE c.c_mktsegment = 'BUILDING'
+              AND o.o_orderdate < TIMESTAMP '1998-06-01'
+              AND l.l_shipdate > TIMESTAMP '1998-06-01'
+            GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority
+            ORDER BY revenue DESC, o.o_orderkey
+            LIMIT 10
         """,
         "quality_filter_docs": """
             WITH m AS (

@@ -483,6 +483,8 @@ def suite(sf_dir: str) -> dict[str, float]:
         "kmeans_embeddings",
         "quality_filter_docs",
         "kcenter_embeddings",
+        "q3_shipping",
+        "q5_local_supplier_volume",
         "asof_events_orders",
         "range_orders_lineitem",
         "sliding_window_events",
