@@ -1176,12 +1176,10 @@ def q5_local_supplier_volume(sf_dir: str):
         pc.is_in(nation.column("n_regionkey"), value_set=region.column("r_regionkey"))
     )
     nk_set = pa.array(asia_keys.column("n_nationkey").to_pylist(), pa.int64())
-    nk_to_name = dict(
-        zip(
-            asia_keys.column("n_nationkey").to_pylist(),
-            asia_keys.column("n_name").to_pylist(),
-        )
-    )
+    _nk = np.asarray(asia_keys.column("n_nationkey").to_pylist(), dtype=np.int64)
+    _nname = np.asarray(asia_keys.column("n_name").to_pylist(), dtype=object)
+    _order = np.argsort(_nk)
+    nk_sorted, nname_sorted = _nk[_order], _nname[_order]
 
     cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).map_batches(
         lambda b: b.filter(pc.is_in(b.column("c_nationkey"), value_set=nk_set)),
@@ -1233,9 +1231,9 @@ def q5_local_supplier_volume(sf_dir: str):
 
     def same_nation(b: pa.Table) -> pa.Table:
         t = b.filter(pc.equal(b.column("c_nationkey"), b.column("s_nationkey")))
+        keys = t.column("s_nationkey").to_numpy(zero_copy_only=False).astype(np.int64)
         names = pa.array(
-            [nk_to_name[int(k)] for k in t.column("s_nationkey").to_pylist()],
-            pa.string(),
+            nname_sorted[np.searchsorted(nk_sorted, keys)], pa.string()
         )
         return pa.table({"n_name": names, "rev": t.column("rev")})
 
