@@ -317,3 +317,21 @@ def test_repetition_stats_brute(ray_session):
         assert row["n_distinct_tokens"] == len(set(toks))
         assert row["top_bigram_count"] == (max(bigrams.values()) if bigrams else 0)
         assert row["n_bigrams"] == max(len(toks) - 1, 0)
+
+
+def test_sever_lineage_identity_and_plan_length(ray_session):
+    """sever_lineage must preserve rows exactly and rebase the plan
+    so loop-carried materializes stay O(1) to plan (the Ray 2.49
+    doubling-plan pathology pinned in util.sever_lineage's docstring)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ingest_ray.util import sever_lineage
+
+    t = pa.table({"v": pa.array(np.arange(100, dtype=np.int64))})
+    ds = rd.from_arrow(t).repartition(4).materialize()
+    out = sever_lineage(ds)
+    assert sorted(r["v"] for r in out.take_all()) == list(range(100))
+    # a further map over the rebased dataset executes fine (blocks live)
+    assert out.map_batches(lambda b: b, batch_format="pyarrow").count() == 100
