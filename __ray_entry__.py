@@ -1145,7 +1145,18 @@ def q3_shipping(sf_dir: str):
     j = orders.join(cust, join_type="inner", num_partitions=np_eff, on=("o_custkey",), right_on=("c_custkey",))
     j = j.join(li, join_type="inner", num_partitions=np_eff, on=("o_orderkey",), right_on=("l_orderkey",))
     out = j.select_columns(["o_orderkey", "o_orderdate", "o_orderpriority", "revenue"])
-    return out.sort(["revenue", "o_orderkey"], descending=[True, False]).limit(10)
+    out = out.sort(["revenue", "o_orderkey"], descending=[True, False]).limit(10)
+    # round the ~1e5-magnitude float sums to 2 decimals AFTER the sort so
+    # distributed summation-order noise can't flip the value-hash compare
+    return out.map_batches(
+        lambda b: b.set_column(
+            b.schema.get_field_index("revenue"),
+            "revenue",
+            pc.round(b.column("revenue"), 2),
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
 
 
 def q5_local_supplier_volume(sf_dir: str):
@@ -1168,9 +1179,8 @@ def q5_local_supplier_volume(sf_dir: str):
 
     # driver-side broadcast of the ASIA nation set: region × nation is
     # dozens of rows by contract
-    region = pa.parquet.read_table(
-        os.path.join(sf_dir, "region.parquet")
-    ).filter(pc.equal(pa.parquet.read_table(os.path.join(sf_dir, "region.parquet")).column("r_name"), "ASIA"))
+    region = pa.parquet.read_table(os.path.join(sf_dir, "region.parquet"))
+    region = region.filter(pc.equal(region.column("r_name"), "ASIA"))
     nation = pa.parquet.read_table(os.path.join(sf_dir, "nation.parquet"))
     asia_keys = nation.filter(
         pc.is_in(nation.column("n_regionkey"), value_set=region.column("r_regionkey"))
@@ -1242,7 +1252,17 @@ def q5_local_supplier_volume(sf_dir: str):
         .groupby("n_name")
         .aggregate(Sum("rev", alias_name="revenue"))
     )
-    return out
+    # round ~1e7-magnitude float sums to 2 decimals so distributed
+    # summation-order noise can't flip the value-hash compare
+    return out.map_batches(
+        lambda b: b.set_column(
+            b.schema.get_field_index("revenue"),
+            "revenue",
+            pc.round(b.column("revenue"), 2),
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
 
 
 def q_kcenter_embeddings(sf_dir: str):
@@ -1714,9 +1734,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_custkeys_orders": q_heavy_custkeys_orders,
         "lag_events": q_lag_events,
         "quantiles_by_event_type": q_quantiles_by_event_type,
-        "simplify_synth": q_simplify_synth,
         "sample_weighted_docs": q_sample_weighted_docs,
-        "zoom_pyramid_synth": q_zoom_pyramid_synth,
         "normalize_docs": q_normalize_docs,
         "top_terms_docs": q_top_terms_docs,
         "sample_stratified_docs": q_sample_stratified_docs,
@@ -1730,7 +1748,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hex_cell_customers": q_hex_cell_customers,
         "knn_customers": q_knn_customers,
         "pip_customers": q_pip_customers,
+        "simhash_docs": q_simhash_docs,
+        "simhash_pairs_docs": q_simhash_pairs_docs,
+        "jaccard_dedup_docs": q_jaccard_dedup_docs,
+        "minhash_pairs_docs": q_minhash_pairs_docs,
+        "lang_id_docs": q_lang_id_docs,
+        "fingerprint_docs": q_fingerprint_docs,
+        "quality_filter_docs": q_quality_filter_docs,
+        "q3_shipping": q3_shipping,
+        "q5_local_supplier_volume": q5_local_supplier_volume,
         # geo / sketch operators (rows-only)
+        "simplify_synth": q_simplify_synth,
+        "zoom_pyramid_synth": q_zoom_pyramid_synth,
         "ingest_synth": q_ingest_synth,
         "golden_features": q_golden_features,
         "tiles_synth": q_tiles_synth,
@@ -1750,21 +1779,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_thumbnails_synth": q_media_thumbnails_synth,
         "video_frames_synth": q_video_frames_synth,
         "span_invariant": q_span_invariant,
-        "simhash_docs": q_simhash_docs,
-        "simhash_pairs_docs": q_simhash_pairs_docs,
-        "jaccard_dedup_docs": q_jaccard_dedup_docs,
-        "minhash_pairs_docs": q_minhash_pairs_docs,
         "minhash_dedup_docs": q_minhash_dedup_docs,
-        "lang_id_docs": q_lang_id_docs,
-        "fingerprint_docs": q_fingerprint_docs,
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
         "lsh_ann": q_lsh_ann,
         "ivf_ann": q_ivf_ann,
         "kmeans_embeddings": q_kmeans_embeddings,
-        "quality_filter_docs": q_quality_filter_docs,
         "kcenter_embeddings": q_kcenter_embeddings,
-        "q3_shipping": q3_shipping,
-        "q5_local_supplier_volume": q5_local_supplier_volume,
     }
 
 
@@ -2100,7 +2120,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q5_local_supplier_volume": """
             SELECT n.n_name,
-                   sum(l.l_extendedprice * (1 - l.l_discount)) AS revenue
+                   round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
             FROM region r
             JOIN nation n ON n.n_regionkey = r.r_regionkey
             JOIN customer c ON c.c_nationkey = n.n_nationkey
@@ -2115,7 +2135,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q3_shipping": """
             SELECT o.o_orderkey, o.o_orderdate, o.o_orderpriority,
-                   sum(l.l_extendedprice * (1 - l.l_discount)) AS revenue
+                   round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
             FROM customer c
             JOIN orders o ON o.o_custkey = c.c_custkey
             JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -2123,7 +2143,7 @@ def oracle_sql() -> dict[str, str]:
               AND o.o_orderdate < TIMESTAMP '1998-06-01'
               AND l.l_shipdate > TIMESTAMP '1998-06-01'
             GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority
-            ORDER BY revenue DESC, o.o_orderkey
+            ORDER BY sum(l.l_extendedprice * (1 - l.l_discount)) DESC, o.o_orderkey
             LIMIT 10
         """,
         "quality_filter_docs": """

@@ -45,8 +45,15 @@ import logging as _logging
 
 
 class _DropSchemaNoise(_logging.Filter):
+    """Drop ONLY the zero-column-block artifact (message ends with the
+    empty schema rendering "new schema: ."); genuine schema-drift
+    warnings, whose new schema is non-empty, still surface."""
+
     def filter(self, record: _logging.LogRecord) -> bool:
-        return "different schema" not in record.getMessage()
+        msg = record.getMessage()
+        return not (
+            "different schema" in msg and msg.rstrip().endswith("new schema: .")
+        )
 
 
 _logging.getLogger(

@@ -208,7 +208,16 @@ def filter_by_group_quantile(
             bk = col.to_numpy(zero_copy_only=False).astype(np.uint64)
         pos = np.searchsorted(keys, bk)
         pos = np.minimum(pos, len(keys) - 1)
-        # every row's group exists in the threshold table by construction
+        # every row's group exists in the threshold table by construction;
+        # verify it so a missing group or a 64-bit string-hash collision
+        # fails loudly instead of applying a neighbor's threshold
+        if len(bk) and not np.array_equal(keys[pos], bk):
+            bad = bk[keys[pos] != bk][:5]
+            raise ValueError(
+                f"filter_by_group_quantile: {np.count_nonzero(keys[pos] != bk)} rows "
+                f"whose group key is absent from the threshold table (or a 64-bit "
+                f"hash collision for string keys); first offenders: {bad.tolist()}"
+            )
         v = batch.column(value).to_numpy(zero_copy_only=False).astype(np.float64)
         return batch.filter(pa.array(v >= ths[pos]))
 

@@ -50,8 +50,10 @@ def compare(a: pd.DataFrame, b: pd.DataFrame) -> str | None:
     for c in a.columns:
         av, bv = a[c].to_numpy(), b[c].to_numpy()
         if np.issubdtype(av.dtype, np.floating) or np.issubdtype(bv.dtype, np.floating):
-            if not np.allclose(av.astype(float), bv.astype(float), rtol=0, atol=1e-9, equal_nan=True):
-                bad = np.flatnonzero(~np.isclose(av.astype(float), bv.astype(float), rtol=0, atol=1e-9))
+            # rtol guards large-magnitude float aggregates (e.g. ~1e8
+            # revenue sums) against distributed summation-order noise
+            if not np.allclose(av.astype(float), bv.astype(float), rtol=1e-9, atol=1e-9, equal_nan=True):
+                bad = np.flatnonzero(~np.isclose(av.astype(float), bv.astype(float), rtol=1e-9, atol=1e-9))
                 return f"col {c}: {len(bad)} mismatches, first {bad[:3]} {av[bad[:3]]} vs {bv[bad[:3]]}"
         elif not (av == bv).all():
             bad = np.flatnonzero(av != bv)
