@@ -1955,6 +1955,139 @@ def _simhash_oracle_sql() -> str:
     """
 
 
+def _sm_chain_sql(src: str, keys: list[str], xexpr: str, out: str) -> str:
+    """Nested-subquery SQL computing ``out = splitmix64(xexpr)`` over
+    relation ``src`` carrying ``keys`` through — each 64×64 multiply
+    mod 2⁶⁴ decomposed into 32-bit halves (HUGEINT holds only 127 bits,
+    not the full 128-bit product). Same decomposition as
+    :func:`_splitmix_docs_cte`, generalized so the minhash oracle can
+    mix arbitrary columns."""
+    ks = ", ".join(keys)
+    m = "18446744073709551616"
+
+    def mul(a: str, hi: int, lo: int) -> str:
+        return (
+            f"CAST(((CAST({a} AS HUGEINT) * {lo}) % {m}"
+            f" + (((CAST({a} AS HUGEINT) % 4294967296) * {hi}) % 4294967296)"
+            f" * 4294967296) % {m} AS UBIGINT)"
+        )
+
+    return f"""(
+      SELECT {ks}, xor(z2, z2 >> 31) AS {out} FROM (
+        SELECT {ks}, {mul("xor(z1, z1 >> 27)", 2496678331, 321982955)} AS z2 FROM (
+          SELECT {ks}, {mul("xor(z0, z0 >> 30)", 3210233709, 484763065)} AS z1 FROM (
+            SELECT {ks}, CAST((CAST({xexpr} AS HUGEINT) + 11400714819323198485) % {m} AS UBIGINT) AS z0
+            FROM {src}
+          )
+        )
+      )
+    )"""
+
+
+def _minhash_pairs_oracle_sql() -> str:
+    """SQL twin of q_minhash_pairs_docs: word 3-gram shingles (FNV-1a
+    word hashes folded with the FNV prime, splitmix-finalized), 64
+    MinHash rows (min over splitmix64(shingle ^ seed_j)), 16 banded
+    xor-fold bucket hashes, candidate pairs sharing a (band, bucket),
+    exact shingle-set Jaccard ≥ 0.5 verify. Bucket capping
+    (bucket_cap=4096) never engages at sf≤0.1 corpus sizes, so the
+    uncapped SQL expansion is exact there."""
+    fnv_mul = (
+        "CAST((CAST({x} AS HUGEINT) * 1099511628211) % 18446744073709551616 AS UBIGINT)"
+    )
+    return f"""
+        WITH RECURSIVE
+        {_FNV_PRELUDE},
+        dn AS (SELECT doc_id::BIGINT AS doc_id, trim(coalesce(text,'')) AS t FROM documents),
+        wl AS (SELECT doc_id, string_split_regex(t, '\\s+') AS l FROM dn WHERE t <> ''),
+        occ AS (
+          SELECT wl.doc_id, i.i AS pos, wl.l[i.i] AS w
+          FROM wl JOIN LATERAL (SELECT unnest(range(1, len(l)+1)) AS i) i ON true
+        ),
+        wd AS (SELECT w, hex(encode(w)) AS hx FROM (SELECT DISTINCT w FROM occ)),
+        bytes AS (
+          SELECT wd.w, i.i, hm.v
+          FROM wd
+          JOIN LATERAL (SELECT unnest(range(1, length(hx)//2 + 1)) AS i) i ON true
+          JOIN hexmap hm ON substring(wd.hx, (2*i.i-1)::BIGINT, 2) = hm.pair
+        ),
+        wlens AS (SELECT w, length(hx)//2 AS n FROM wd),
+        fnv(w, i, h) AS (
+          SELECT w, 0::BIGINT, CAST(14695981039346656037 AS UBIGINT) FROM wd
+          UNION ALL
+          SELECT f.w, f.i+1, {fnv_mul.format(x="xor(f.h, b.v)")}
+          FROM fnv f JOIN bytes b ON b.w = f.w AND b.i = f.i+1
+        ),
+        wh AS (SELECT f.w, f.h FROM fnv f JOIN wlens l ON f.w = l.w AND f.i = l.n),
+        occh AS (SELECT o.doc_id, o.pos, wh.h FROM occ o JOIN wh ON o.w = wh.w),
+        nw AS (SELECT doc_id, max(pos) AS n FROM occh GROUP BY doc_id),
+        gstart AS (
+          SELECT nw.doc_id, i.i AS gpos
+          FROM nw JOIN LATERAL (SELECT unnest(range(1, greatest(n-2,1)+1)) AS i) i ON true
+        ),
+        acc1 AS (
+          SELECT g.doc_id, g.gpos, {fnv_mul.format(x="o1.h")} AS acc
+          FROM gstart g JOIN occh o1 ON o1.doc_id = g.doc_id AND o1.pos = g.gpos
+        ),
+        acc2 AS (
+          SELECT a.doc_id, a.gpos,
+                 CASE WHEN o2.h IS NULL THEN a.acc
+                      ELSE {fnv_mul.format(x="xor(a.acc, o2.h)")} END AS acc
+          FROM acc1 a LEFT JOIN occh o2 ON o2.doc_id = a.doc_id AND o2.pos = a.gpos+1
+        ),
+        acc3 AS (
+          SELECT a.doc_id, a.gpos,
+                 CASE WHEN o3.h IS NULL THEN a.acc
+                      ELSE {fnv_mul.format(x="xor(a.acc, o3.h)")} END AS acc
+          FROM acc2 a LEFT JOIN occh o3 ON o3.doc_id = a.doc_id AND o3.pos = a.gpos+2
+        ),
+        sh AS (
+          SELECT DISTINCT doc_id, s
+          FROM {_sm_chain_sql("acc3", ["doc_id"], "acc", "s")}
+        ),
+        seeds AS (
+          SELECT j, CAST((CAST(j+1 AS HUGEINT) * 11400714819323198485)
+                         % 18446744073709551616 AS UBIGINT) AS seed
+          FROM (SELECT unnest(range(64)) AS j)
+        ),
+        sx AS (SELECT sh.doc_id, seeds.j, xor(sh.s, seeds.seed) AS x
+               FROM sh CROSS JOIN seeds),
+        sig AS (
+          SELECT doc_id, j, min(h) AS sig
+          FROM {_sm_chain_sql("sx", ["doc_id", "j"], "x", "h")}
+          GROUP BY doc_id, j
+        ),
+        bandx AS (
+          SELECT doc_id, (j // 4)::BIGINT AS band,
+                 xor(bit_xor(sig), CAST((j // 4) * 1315423911 AS UBIGINT)) AS x
+          FROM sig GROUP BY doc_id, j // 4
+        ),
+        bh AS (
+          SELECT doc_id, band, h AS bh
+          FROM {_sm_chain_sql("bandx", ["doc_id", "band"], "x", "h")}
+        ),
+        cands AS (
+          SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+          FROM bh x JOIN bh y
+            ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id
+        ),
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (
+          SELECT c.a, c.b, count(*) AS i
+          FROM cands c
+          JOIN sh sa ON sa.doc_id = c.a
+          JOIN sh sb ON sb.doc_id = c.b AND sb.s = sa.s
+          GROUP BY c.a, c.b
+        )
+        SELECT c.a, c.b
+        FROM cands c
+        JOIN sizes na ON na.doc_id = c.a
+        JOIN sizes nb ON nb.doc_id = c.b
+        LEFT JOIN inter i ON i.a = c.a AND i.b = c.b
+        WHERE coalesce(i.i, 0)::DOUBLE / (na.n + nb.n - coalesce(i.i, 0)) >= 0.5
+    """
+
+
 def _splitmix_docs_cte() -> str:
     """CTE chain computing h = splitmix64(doc_id) over documents in
     integer SQL — each 64×64 multiply mod 2⁶⁴ decomposed into 32-bit
@@ -2497,6 +2630,7 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY d.doc_id
         """,
         "fingerprint_docs": _fingerprint_oracle_sql(),
+        "minhash_pairs_docs": _minhash_pairs_oracle_sql(),
         "knn_customers": """
             WITH pts AS (
               SELECT c_custkey AS id,
