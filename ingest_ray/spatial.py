@@ -93,15 +93,30 @@ class PolygonSet:
     def contains(self, px: np.ndarray, py: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         """→ (point_idx, poly_id) pairs for every containment hit.
 
-        bbox prefilter (vectorized) then exact even-odd ray casting per
-        candidate polygon over its candidate points only.
+        Sorted-x bbox prefilter: points are sorted by x ONCE, each
+        polygon's x-window is two searchsorteds (O(log N) instead of an
+        O(N) mask per polygon — the per-polygon Python dispatch the
+        round-4 verdict flagged for many-small-polygon buckets), then a
+        y mask over the window and exact even-odd ray casting over the
+        survivors. Candidate indices are re-sorted so output pair order
+        is byte-identical to the full-scan version.
         """
         out_pt, out_poly = [], []
-        for p in range(len(self.poly_ids)):
+        n_poly = len(self.poly_ids)
+        if n_poly == 0 or len(px) == 0:
+            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.uint64)
+        x_order = np.argsort(px, kind="stable")
+        sx, sy = px[x_order], py[x_order]
+        lo_all = np.searchsorted(sx, self.bboxes[:, 0], side="left")
+        hi_all = np.searchsorted(sx, self.bboxes[:, 2], side="right")
+        for p in np.flatnonzero(hi_all > lo_all):
             b = self.bboxes[p]
-            cand = np.flatnonzero((px >= b[0]) & (px <= b[2]) & (py >= b[1]) & (py <= b[3]))
-            if len(cand) == 0:
+            w0, w1 = lo_all[p], hi_all[p]
+            wy = sy[w0:w1]
+            m = (wy >= b[1]) & (wy <= b[3])
+            if not m.any():
                 continue
+            cand = np.sort(x_order[w0:w1][m])
             r0, r1 = self.poly_ring_spans[p]
             # slice this polygon's rings out of the packed buffers
             lo = self.ring_offsets[r0]
