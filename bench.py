@@ -118,12 +118,20 @@ def flagship(sf_dir: str, out_dir: str, corpus: str | None = None, join_mode: st
         EngineConfig(
             join_mode=join_mode,
             num_partitions=32,
-            post_map=add_cell_columns,
             materialize_elements=mat,
         ),
-    )  # cell columns fuse into the encode branches (no extra pass)
+    )
+    # H3/S2 cell columns are computed INSIDE the tile writers (augment=),
+    # not upstream: they are 56 B/row — ~31% of the tile exchange — and
+    # pure functions of the feature bbox, so post-shuffle computation
+    # cuts the all-to-all a third with byte-identical output files
     manifest = optimize_to_tiles(
-        feats, out_dir, grid_divs=(8, 8), leaf_capacity=2048, resume=False
+        feats,
+        out_dir,
+        grid_divs=(8, 8),
+        leaf_capacity=2048,
+        resume=False,
+        augment=add_cell_columns,
     )
     import pyarrow as pa  # noqa: F401
 

@@ -89,13 +89,44 @@ def completed_cells(out_path: str) -> set[int]:
     return done
 
 
-def write_cell_group(group: pa.Table, out_path: str, leaf_capacity: int = LEAF_CAPACITY) -> pa.Table:
+def _apply_augment(group: pa.Table, augment) -> pa.Table:
+    """Apply a derived-column transform to a shuffled group so output
+    column ORDER matches the upstream (pre-shuffle) application: the
+    tile keys (tile_cell / tile_path) are peeled off, the augment
+    appends its columns, and the keys are re-appended — byte-identical
+    files either way (pinned by tests)."""
+    meta = [
+        c for c in ("tile_cell", "tile_path", "tile_depth") if c in group.column_names
+    ]
+    base = group.drop_columns(meta) if meta else group
+    out = augment(base)
+    for c in meta:
+        out = out.append_column(c, group.column(c))
+    return out
+
+
+def write_cell_group(
+    group: pa.Table,
+    out_path: str,
+    leaf_capacity: int = LEAF_CAPACITY,
+    augment=None,
+) -> pa.Table:
     """map_groups body: divide one cell, write its tiles, commit manifest.
 
     Returns the manifest as rows (cell, tile_path, rows, file) so the
     driver can aggregate metrics without re-reading JSON.
+
+    ``augment``: optional per-group table transform applied AFTER the
+    shuffle, before canonicalization — the home for derived columns
+    (e.g. ``cells.add_cell_columns``: six H3 resolutions + S2 = 56 B/row,
+    ~31% of the tile exchange at bench shape) that are pure functions of
+    the feature row. Computing them post-shuffle keeps them out of the
+    all-to-all entirely; output bytes are identical to computing them
+    upstream (pinned by tests).
     """
     t0 = time.time()
+    if augment is not None:
+        group = _apply_augment(group, augment)
     tiled = divide_cell_group(group, leaf_capacity)
     cell = int(tiled.column("tile_cell")[0].as_py())
     # canonical (tile_path, key) order: output bytes are a pure function
@@ -169,7 +200,7 @@ def write_cell_group(group: pa.Table, out_path: str, leaf_capacity: int = LEAF_C
     )
 
 
-def write_tile_group(group: pa.Table, out_path: str) -> pa.Table:
+def write_tile_group(group: pa.Table, out_path: str, augment=None) -> pa.Table:
     """One PHYSICAL tile's rows (pre-assigned tile_cell/tile_path) →
     canonical key-sorted parquet file + one manifest-meta row.
 
@@ -183,6 +214,8 @@ def write_tile_group(group: pa.Table, out_path: str) -> pa.Table:
     by tests)."""
     cell = int(group.column("tile_cell")[0].as_py())
     path = int(group.column("tile_path")[0].as_py())
+    if augment is not None:
+        group = _apply_augment(group, augment)
     keys0 = group.column("key").to_numpy(zero_copy_only=False)
     order = np.argsort(keys0, kind="stable")
     tiled = _canon_table(group.take(pa.array(order, pa.int64())).combine_chunks())
@@ -271,9 +304,16 @@ def optimize_to_tiles(
     resume: bool = True,
     bounds: tuple[float, float, float, float] | None = None,
     divide: str = "exact",
+    augment=None,
 ):
     """The full optimize pass: bounds → owner cells → (skip completed)
     → per-cell divide+write. Returns the manifest Dataset.
+
+    ``augment``: derived-column transform (e.g. ``add_cell_columns``)
+    applied INSIDE the per-group writer instead of upstream — keeps
+    pure-function-of-row columns out of the tile all-to-all (56 B/row
+    of H3/S2 cells ≈ 31% of exchange bytes at bench shape) while
+    producing byte-identical files (see :func:`_apply_augment`).
 
     Equivalent of Ingest::optimize (/root/reference/src/lib.rs:408-602)
     with the skip-map dedup replaced by owner-cell assignment and the
@@ -298,7 +338,7 @@ def optimize_to_tiles(
     """
     if divide == "aggregated":
         return _optimize_to_tiles_aggregated(
-            features_ds, out_path, grid_divs, leaf_capacity, resume, bounds
+            features_ds, out_path, grid_divs, leaf_capacity, resume, bounds, augment
         )
     # materialize on BOTH paths (same fix as tiles.assign_tiles):
     # coalesce_blocks inspects count()/num_blocks(), which on a lazy
@@ -333,7 +373,7 @@ def optimize_to_tiles(
             )
 
     return with_cell.groupby("tile_cell").map_groups(
-        lambda g: write_cell_group(g, out_path, leaf_capacity),
+        lambda g: write_cell_group(g, out_path, leaf_capacity, augment=augment),
         batch_format="pyarrow",
     )
 
@@ -345,6 +385,7 @@ def _optimize_to_tiles_aggregated(
     leaf_capacity: int,
     resume: bool,
     bounds: tuple[float, float, float, float] | None,
+    augment=None,
 ):
     """See :func:`optimize_to_tiles` ``divide="aggregated"``."""
     from .tiles import assign_tiles_aggregated
@@ -373,7 +414,7 @@ def _optimize_to_tiles_aggregated(
             )
 
     metas = assigned.groupby(["tile_cell", "tile_path"]).map_groups(
-        lambda g: write_tile_group(g, out_path), batch_format="pyarrow"
+        lambda g: write_tile_group(g, out_path, augment=augment), batch_format="pyarrow"
     )
     return metas.groupby("cell").map_groups(
         lambda df: _write_cell_manifest_from_metas(df, out_path),

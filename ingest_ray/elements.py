@@ -286,15 +286,38 @@ _KIND_VIEW_COLS = {
 }
 
 
+def kind_segment(tbl: pa.Table, code: int) -> pa.Table:
+    """Zero-copy extraction of one kind's rows from a union-element
+    block.
+
+    ``parse_all_batch`` concatenates kinds in (node, way, relation)
+    order, so ``ekind`` ascends within every parse-produced block —
+    a kind's rows are ONE contiguous run, found with two searchsorteds
+    over the uint8 column and returned as a ``slice`` (no copy). This
+    matters because the per-kind extraction otherwise runs as an Arrow
+    ``filter`` — a full copy of the kind's bytes per consumer, and in
+    the sharded-index ``_shard`` path a copy PER WORKER PROCESS (the
+    anti-scaling term of the encode stage at high CPU counts). Falls
+    back to the filter copy for blocks that aren't kind-contiguous
+    (e.g. blocks that crossed a shuffle)."""
+    ek = tbl.column("ekind")
+    ekn = ek.to_numpy(zero_copy_only=False) if len(tbl) else np.empty(0, np.uint8)
+    if len(ekn) > 1 and not bool(np.all(ekn[1:] >= ekn[:-1])):
+        return tbl.filter(pc.equal(ek, code))
+    lo = int(np.searchsorted(ekn, code, side="left"))
+    hi = int(np.searchsorted(ekn, code, side="right"))
+    return tbl.slice(lo, hi - lo)
+
+
 def kind_view(elements_all, kind: str):
-    """Cheap filtered projection of the (materialized) union table."""
+    """Cheap per-kind projection of the (materialized) union table —
+    a zero-copy contiguous slice per block (see :func:`kind_segment`)."""
     code = _KIND_CODE[kind]
     cols = _KIND_VIEW_COLS[kind]
     schema = {"node": NODES_SCHEMA, "way": WAYS_SCHEMA, "relation": RELATIONS_SCHEMA}[kind]
 
     def fn(batch: pa.Table) -> pa.Table:
-        m = pc.equal(batch.column("ekind"), code)
-        sub = batch.filter(m)
+        sub = kind_segment(batch, code)
         return pa.table({c: sub.column(c) for c in cols}).cast(schema)
 
     return elements_all.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)

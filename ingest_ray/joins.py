@@ -156,12 +156,13 @@ class ShardedNodeIndex:
         key = ref.hex() if self.ekind is None else f"n{self.ekind}" + ref.hex()
         got = _SHARD_CACHE.get(key)
         if got is None:
-            import pyarrow.compute as _pc
-
             tbl = ray.get(ref)
             if self.ekind is not None:
-                tbl = tbl.select(["ekind", "id", "lon", "lat"])
-                tbl = tbl.filter(_pc.equal(tbl.column("ekind"), self.ekind))
+                # contiguous-run slice, NOT a filter: a filter copies the
+                # node coords per worker process (anti-scaling at 32 CPUs)
+                from .elements import kind_segment
+
+                tbl = kind_segment(tbl, self.ekind).select(["id", "lon", "lat"])
             ids = np.asarray(tbl.column("id").to_numpy(zero_copy_only=False), dtype=np.int64)
             lon = tbl.column("lon").to_numpy(zero_copy_only=False)
             lat = tbl.column("lat").to_numpy(zero_copy_only=False)
@@ -297,12 +298,12 @@ class ShardedWayRefsIndex:
         key = ("w" if self.ekind is None else f"w{self.ekind}") + ref.hex()
         got = _SHARD_CACHE.get(key)
         if got is None:
-            import pyarrow.compute as _pc
-
             tbl = ray.get(ref)
             if self.ekind is not None:
-                tbl = tbl.select(["ekind", "id", "refs"])
-                tbl = tbl.filter(_pc.equal(tbl.column("ekind"), self.ekind))
+                # contiguous-run slice, NOT a filter (see ShardedNodeIndex)
+                from .elements import kind_segment
+
+                tbl = kind_segment(tbl, self.ekind).select(["id", "refs"])
             ids = np.asarray(tbl.column("id").to_numpy(zero_copy_only=False), dtype=np.int64)
             off, flat_arr = _list_offsets(tbl.column("refs"))
             flat = np.asarray(flat_arr.to_numpy(zero_copy_only=False), dtype=np.int64)

@@ -142,17 +142,24 @@ def ingest_features(documents_ds, config: EngineConfig | None = None, all_el=Non
         # row-uniform repartition of the relation-only table restores
         # balanced task granularity (task = block in Ray Data).
         import pyarrow as pa
-        import pyarrow.compute as pc
+
+        from .elements import kind_segment
 
         enabled = [
             code for code, on in ((0, cfg.ingest_node), (1, cfg.ingest_way)) if on
         ]
         branches = []
         if enabled:
-            value_set = pa.array(enabled, pa.uint8())
 
             def keep_kinds(b):
-                return b.filter(pc.is_in(b.column("ekind"), value_set=value_set))
+                # zero-copy contiguous slices per kind (blocks are
+                # kind-ordered by construction; see kind_segment) — the
+                # old is_in filter copied ~98% of every block's bytes
+                segs = [kind_segment(b, code) for code in enabled]
+                segs = [s for s in segs if len(s)]
+                if not segs:
+                    return b.schema.empty_table()
+                return pa.concat_tables(segs)
 
             branches.append(
                 all_el.map_batches(keep_kinds, batch_format="pyarrow", zero_copy_batch=True)

@@ -177,3 +177,49 @@ def test_aggregated_write_mode_byte_equals_exact(ray_session, tmp_path):
         (r["key"], r["tile_cell"], r["tile_path"]) for r in read_tiles(aggr).take_all()
     )
     assert a == b
+
+
+def test_augment_at_writer_byte_equals_post_map(ray_session, tmp_path):
+    """optimize_to_tiles(augment=add_cell_columns) — derived H3/S2
+    columns computed INSIDE the writers, post-shuffle — must produce a
+    byte-identical store to computing them upstream via post_map, on
+    BOTH divide modes (the augment keeps 56 B/row of cell columns out
+    of the tile all-to-all; see checkpoint._apply_augment)."""
+    import ray.data as rd
+
+    from ingest_ray.cells import add_cell_columns
+    from ingest_ray.checkpoint import optimize_to_tiles
+    from ingest_ray.config import EngineConfig
+    from ingest_ray.pipeline import ingest_features
+    from ingest_ray.synth import synth_documents
+
+    docs = rd.from_arrow(synth_documents(30_000))
+    pre = ingest_features(
+        docs, EngineConfig(join_mode="broadcast", post_map=add_cell_columns)
+    ).materialize()
+    bare = ingest_features(docs, EngineConfig(join_mode="broadcast")).materialize()
+
+    def tile_files(root):
+        out = {}
+        troot = os.path.join(root, "tiles")
+        for dirpath, _dirs, names in os.walk(troot):
+            for n in names:
+                p = os.path.join(dirpath, n)
+                out[os.path.relpath(p, troot)] = p
+        return out
+
+    for divide in ("exact", "aggregated"):
+        up = str(tmp_path / f"up_{divide}")
+        dn = str(tmp_path / f"dn_{divide}")
+        optimize_to_tiles(
+            pre, up, grid_divs=(4, 4), leaf_capacity=64, resume=False, divide=divide
+        ).materialize()
+        optimize_to_tiles(
+            bare, dn, grid_divs=(4, 4), leaf_capacity=64, resume=False,
+            divide=divide, augment=add_cell_columns,
+        ).materialize()
+        uf, df = tile_files(up), tile_files(dn)
+        assert set(uf) == set(df) and len(uf) > 10
+        for rel in uf:
+            with open(uf[rel], "rb") as a, open(df[rel], "rb") as b:
+                assert a.read() == b.read(), f"{divide}: tile file {rel} bytes differ"
