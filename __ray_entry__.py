@@ -67,7 +67,14 @@ def _synth_docs_ds(sf_dir: str, with_testdata_text: bool = False):
             schema=DOCUMENTS_SCHEMA,
         )
         tbl = pa.concat_tables([tbl, extra])
-    return rd.from_arrow(tbl)
+    # one block per slice: rd.from_arrow(single_table) yields ONE block,
+    # which caps every downstream stage (parse, explode, sort partitions,
+    # map_groups fan-out) at 1-3 tasks regardless of cluster width —
+    # measured as per_bucket running 3-wide on a 32-CPU box
+    nb = min(64, max(1, len(tbl) // 300))  # ≥300 docs/block; 64 at sf≥0.1
+    step = max(1, -(-len(tbl) // nb))
+    parts = [tbl.slice(i, step) for i in range(0, max(len(tbl), 1), step)]
+    return rd.from_arrow(parts)
 
 
 def _synth_features(sf_dir: str, mode: str = "broadcast"):

@@ -273,6 +273,11 @@ def pip_join_partitioned(
 
     polys = polygons_ds.map_batches(explode_polys, batch_format="pyarrow", zero_copy_batch=True)
     points = points_ds.map_batches(explode_points, batch_format="pyarrow", zero_copy_batch=True)
+    # NOTE: the groupby's sort-shuffle inherits its partition count from
+    # the input block count — callers must feed multi-block Datasets
+    # (a single-block input runs per_bucket 1-wide no matter the cluster
+    # width; size reads to ≥2 blocks/CPU upstream, not here, so a
+    # well-partitioned input doesn't pay a redundant exchange)
     bucketed = polys.union(points)
 
     OUT_SCHEMA = pa.schema(

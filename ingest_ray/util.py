@@ -179,6 +179,17 @@ def sever_lineage(materialized_ds):
     union+groupby loop goes 0.3 s → 86 s per round with constant block
     counts; rebasing on the block refs holds it at 0.3 s). Call this on
     every loop-carried materialized dataset.
+
+    Fault-tolerance tradeoff (explicit): the rebased dataset has no
+    lineage, so a lost block is NOT recomputed — consumers fail loudly
+    (pinned by ``test_sever_lineage_block_loss_fails_loudly``), never
+    silently drop rows. Recompute story for loop-carried state: the
+    loop's INPUTS (upstream of the first sever) keep their lineage and
+    every round is deterministic, so the caller retries the whole loop
+    (label propagation, k-means rounds are idempotent); at 10¹²-doc
+    scale, per-round outputs are small assignment tables, so callers
+    that need finer-grained resume can parquet-checkpoint a round the
+    same way ``checkpoint.staged_ingest`` commits stages.
     """
     import ray.data as rd
 

@@ -335,3 +335,33 @@ def test_sever_lineage_identity_and_plan_length(ray_session):
     assert sorted(r["v"] for r in out.take_all()) == list(range(100))
     # a further map over the rebased dataset executes fine (blocks live)
     assert out.map_batches(lambda b: b, batch_format="pyarrow").count() == 100
+
+
+def test_sever_lineage_block_loss_fails_loudly(ray_session):
+    """The fault-tolerance tradeoff of sever_lineage, made explicit: the
+    rebased dataset holds bare block refs with NO lineage, so a lost
+    block is NOT recomputed — the read must surface an error (never
+    silently drop rows). The recompute story for loop-carried state
+    (label propagation, k-means) is caller-level: inputs upstream of
+    the loop keep their lineage, every round is deterministic, so a
+    failed round re-runs from the loop entry (documented in
+    util.sever_lineage)."""
+    import numpy as np
+    import pyarrow as pa
+    import pytest
+    import ray
+    import ray.data as rd
+
+    from ingest_ray.util import sever_lineage
+
+    t = pa.table({"v": pa.array(np.arange(100, dtype=np.int64))})
+    ds = rd.from_arrow(t).repartition(4).materialize()
+    refs = ds.to_arrow_refs()
+    out = sever_lineage(ds)
+    # simulate a worker/node loss: free one backing object
+    ray._private.internal_api.free([refs[0]], local_only=False)
+    with pytest.raises(Exception):
+        # either the consuming task raises ObjectFreedError/ObjectLost
+        # or Ray wraps it — any exception is the documented contract;
+        # reconstruction would require the lineage this rebase dropped
+        out.map_batches(lambda b: b, batch_format="pyarrow").count()

@@ -1,5 +1,5 @@
 #!/usr/bin/env python
-"""Round-4 scaling campaign runner.
+"""Scaling campaign runner (round 5; first written round 4).
 
 Waits for the host to exit its memory-ballooning phase (first-touch
 page-fault probe, same criterion as ``bench.py --scaling``'s per-leg
@@ -18,7 +18,7 @@ import sys
 import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-OUT_DIR = "/tmp/scaling_r4"
+OUT_DIR = os.environ.get("CAMPAIGN_OUT_DIR", "/tmp/scaling_r5")
 RESULTS = os.path.join(OUT_DIR, "results.jsonl")
 LOG = os.path.join(OUT_DIR, "campaign.log")
 PAIRINGS = ("8,32", "4,16")
@@ -74,10 +74,36 @@ def main() -> int:
     best_probe = float("inf")
     log(f"campaign start; deadline {DEADLINE_S}s; grace {GRACE_S}s; "
         f"pairings {PAIRINGS}")
+    control_done = os.path.isfile(os.path.join(OUT_DIR, "control.done"))
     while time.monotonic() - start < DEADLINE_S:
         remaining = [p for p in PAIRINGS if p not in done_pairings()]
+        if not remaining and not control_done:
+            # compute-bound MinHash control at 8->32: the same-session
+            # engine-vs-box discriminator the flagship result is read
+            # against (flagship >= control => engine at the envelope)
+            log("pairings done — running MinHash compute control")
+            proc = subprocess.run(
+                [sys.executable, os.path.join(REPO, "bench.py"),
+                 "--scaling-control"],
+                capture_output=True, text=True, cwd=REPO,
+                env={**os.environ, "GRAFT_SCALING_CPUS": "8,32"},
+                timeout=2 * 3600,
+            )
+            lines = [l for l in proc.stdout.splitlines() if l.startswith("{")]
+            if proc.returncode == 0 and lines:
+                with open(RESULTS, "a") as f:
+                    f.write(lines[-1] + "\n")
+                with open(os.path.join(OUT_DIR, "control.done"), "w") as f:
+                    f.write("1")
+                control_done = True
+                log(f"control recorded: {lines[-1][:200]}")
+            else:
+                log(f"control FAILED rc={proc.returncode}; "
+                    f"stderr tail: {proc.stderr[-500:]}")
+                time.sleep(300)
+            continue
         if not remaining:
-            log("all pairings recorded — done")
+            log("all pairings + control recorded — done")
             return 0
         p = probe()
         best_probe = min(best_probe, p)
