@@ -108,11 +108,13 @@ def flagship(sf_dir: str, out_dir: str, corpus: str | None = None, join_mode: st
     # auto join mode picks the zone-map broadcast path below 250M build
     # rows and the distributed hash join beyond; --scaling measures BOTH
     # modes explicitly (see run_scaling).
-    # GRAFT_MATERIALIZE_ELEMENTS=0 runs the recompute-over-materialize
-    # variant (per-kind streaming parse, no union element table in
-    # plasma) — trades ~2x parse CPU for the element table's plasma
-    # write+read traffic; A/B knob for the memory-bound 32-CPU regime.
-    mat = os.environ.get("GRAFT_MATERIALIZE_ELEMENTS", "1") != "0"
+    # GRAFT_MATERIALIZE_ELEMENTS: "1" (default) materializes the union
+    # element table; "index" runs the two-pass streaming mode (pruned
+    # index projection only — see pipeline._ingest_features_index_mode);
+    # "0" runs per-kind streaming parses. A/B knobs for the memory-bound
+    # 32-CPU regime.
+    _mat_env = os.environ.get("GRAFT_MATERIALIZE_ELEMENTS", "1")
+    mat = "index" if _mat_env == "index" else _mat_env != "0"
     feats = ingest_features(
         docs,
         EngineConfig(

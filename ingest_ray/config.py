@@ -24,9 +24,19 @@ class EngineConfig:
     # probe. Beyond it the distributed hash join ("shuffle") is the
     # planet-scale path.
     broadcast_limit: int = 250_000_000
-    # parse each element table once (nodes/ways feed multiple branches);
-    # the materialized tables are far smaller than the document corpus
-    materialize_elements: bool = True
+    # element staging strategy:
+    #   True    — parse once, materialize the full union element table;
+    #             per-kind views and the sharded indexes are zero-copy
+    #             slices of the same plasma blocks
+    #   "index" — two-pass streaming: pass 1 materializes ONLY the
+    #             join-relevant projection (id, ekind, lon, lat, refs —
+    #             ~28 B/row vs ~59), pass 2 re-parses and streams
+    #             straight into encode. Trades ~1 extra parse pass
+    #             (CPU, scales with cores) for the full element table's
+    #             plasma write+read (memory bandwidth, which doesn't) —
+    #             the knob for the memory-bound high-CPU regime
+    #   False   — per-kind streaming parses, nothing materialized
+    materialize_elements: object = True
     # execute node/way/relation branches one at a time; with the
     # single-pass element parse the streaming union DAG no longer
     # thrashes, so the default is one streaming DAG (fewer barriers)

@@ -410,13 +410,15 @@ def minhash_dedup_assign(
                 )
 
             return joined.map_batches(pick, batch_format="pyarrow", zero_copy_batch=True)
-    edges = [
-        (int(a), int(b))
+    # numpy fold, not per-row tuples: bounded by lp_edge_threshold (4M)
+    # but a Python-tuple materialization at the cap costs ~10x this
+    _parts = [
+        np.column_stack([df["a"].to_numpy(np.int64), df["b"].to_numpy(np.int64)])
         for df in verified.select_columns(["a", "b"]).iter_batches(
             batch_size=1 << 18, batch_format="pandas"
         )
-        for a, b in zip(df["a"].to_numpy(), df["b"].to_numpy())
     ]
+    edges = np.concatenate(_parts) if _parts else np.empty((0, 2), dtype=np.int64)
     parent: dict[int, int] = {}
 
     def find(x: int) -> int:

@@ -61,6 +61,92 @@ def _overlap_fits(all_el) -> bool:
         return False
 
 
+def _ingest_features_index_mode(documents_ds, cfg: EngineConfig):
+    """Two-pass streaming ingest (``materialize_elements="index"``).
+
+    Pass 1 (streaming): parse → project to the join-relevant columns
+    (id, ekind, lon, lat, refs ≈ 28 B/row vs ~59 for the full union
+    table) → materialize ONLY that projection; the sharded zone-map
+    indexes are built over its blocks. Pass 2 (streaming): re-parse and
+    flow node/way batches STRAIGHT into the fused encode — the full
+    element table (tags, members, provenance) never enters the object
+    store. The trade: ~1 extra parse pass, which is vectorized CPU that
+    scales with cores, in exchange for the full table's plasma
+    write+read, which is memory bandwidth that doesn't — the preferred
+    shape for the memory-bound high-CPU regime (and for real clusters,
+    where the re-parse also lands on fresh per-node DRAM controllers).
+    Output equals the materialized path feature-for-feature (pinned by
+    tests)."""
+    import pyarrow as pa
+    import ray as _ray
+
+    from .elements import elements_all_dataset, kind_segment
+
+    def project_index(b: pa.Table) -> pa.Table:
+        return b.select(["id", "ekind", "lon", "lat", "refs"])
+
+    idx_tbl = (
+        elements_all_dataset(documents_ds)
+        .map_batches(project_index, batch_format="pyarrow", zero_copy_batch=True)
+        .materialize()
+    )
+    node_idx_ref, way_idx_ref, kind_counts = joins.build_sharded_indexes_from_all(
+        idx_tbl, cfg.ingest_relation, return_counts=True
+    )
+
+    branches = []
+    enabled = [code for code, on in ((0, cfg.ingest_node), (1, cfg.ingest_way)) if on]
+    if enabled:
+
+        def keep_kinds(b):
+            segs = [kind_segment(b, code) for code in enabled]
+            segs = [s for s in segs if len(s)]
+            if not segs:
+                return b.schema.empty_table()
+            return pa.concat_tables(segs)
+
+        branches.append(
+            elements_all_dataset(documents_ds)
+            .map_batches(keep_kinds, batch_format="pyarrow", zero_copy_batch=True)
+            .map_batches(
+                lambda b: F.encode_all_batch(b, node_idx_ref, way_idx_ref),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            )
+        )
+    if cfg.ingest_relation and kind_counts[2]:
+
+        def encode_rel(b):
+            return F.encode_relations_batch(
+                joins.resolve_relations_batch(
+                    b, _ray.get(way_idx_ref), _ray.get(node_idx_ref)
+                )
+            )
+
+        n_blocks = _relation_blocks(kind_counts[2], cfg.relation_encode_batch_size)
+        branches.append(
+            elements_dataset(documents_ds, "relation")
+            .map_batches(
+                F.prepare_relations_batch, batch_format="pyarrow", zero_copy_batch=True
+            )
+            .repartition(n_blocks)
+            .map_batches(encode_rel, batch_format="pyarrow", zero_copy_batch=True)
+        )
+    if not branches:
+        raise ValueError("all element kinds disabled")
+    if cfg.post_map is not None:
+        branches = [
+            b.map_batches(cfg.post_map, batch_format="pyarrow", zero_copy_batch=True)
+            for b in branches
+        ]
+    if cfg.eager_branches:
+        branches = [b.materialize() for b in branches]
+    out = branches[0]
+    for b in branches[1:]:
+        out = out.union(b)
+    return out
+
+
 def ingest_features(documents_ds, config: EngineConfig | None = None, all_el=None):
     """documents Dataset → features Dataset (lazy).
 
@@ -77,6 +163,15 @@ def ingest_features(documents_ds, config: EngineConfig | None = None, all_el=Non
     branches = []
 
     need_ways = cfg.ingest_way or cfg.ingest_relation
+    if (
+        all_el is None
+        and cfg.materialize_elements == "index"
+        and need_ways
+        and cfg.join_mode in ("auto", "broadcast")
+    ):
+        # index mode IS a broadcast-index plan; an explicit shuffle
+        # join_mode keeps the exchange plan and ignores the knob
+        return _ingest_features_index_mode(documents_ds, cfg)
     if all_el is not None or (cfg.materialize_elements and need_ways):
         # parse ONCE: a single read+explode+parse pass over the corpus
         # materializes the union element table; per-kind "tables" are

@@ -223,3 +223,31 @@ def test_augment_at_writer_byte_equals_post_map(ray_session, tmp_path):
         for rel in uf:
             with open(uf[rel], "rb") as a, open(df[rel], "rb") as b:
                 assert a.read() == b.read(), f"{divide}: tile file {rel} bytes differ"
+
+
+def test_index_mode_equals_materialized(ray_session):
+    """materialize_elements="index" (two-pass streaming: pruned index
+    projection only, full element table never materialized) must equal
+    the materialized path feature-for-feature."""
+    import ray.data as rd
+
+    from ingest_ray.config import EngineConfig
+    from ingest_ray.pipeline import ingest_features
+    from ingest_ray.synth import synth_documents
+
+    docs = rd.from_arrow(synth_documents(30_000))
+    base = ingest_features(
+        docs, EngineConfig(join_mode="broadcast", materialize_elements=True)
+    )
+    idxm = ingest_features(
+        docs, EngineConfig(materialize_elements="index")
+    )
+
+    def sig(ds):
+        return sorted(
+            (r["key"], bytes(r["payload"])) for r in ds.take_all()
+        )
+
+    a, b = sig(base), sig(idxm)
+    assert len(a) > 1000
+    assert a == b

@@ -21,7 +21,10 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 OUT_DIR = os.environ.get("CAMPAIGN_OUT_DIR", "/tmp/scaling_r5")
 RESULTS = os.path.join(OUT_DIR, "results.jsonl")
 LOG = os.path.join(OUT_DIR, "campaign.log")
-PAIRINGS = ("8,32", "4,16")
+# (cpus, extra-env) pairings; the index-mode leg measures the two-pass
+# streaming plan (materialize only the pruned index projection) against
+# the same corpus — the round-5 candidate for the memory-bound regime
+PAIRINGS = ("8,32", "4,16", "8,32+index")
 # overall campaign deadline (seconds) — give up and leave the log
 DEADLINE_S = int(os.environ.get("CAMPAIGN_DEADLINE_S", str(5 * 3600)))
 PROBE_OK_S = 0.6
@@ -62,7 +65,10 @@ def done_pairings() -> set[str]:
             for line in f:
                 try:
                     r = json.loads(line)
-                    done.add(",".join(str(c) for c in r["scaling_cpus"]))
+                    done.add(
+                        r.get("pairing")
+                        or ",".join(str(c) for c in r["scaling_cpus"])
+                    )
                 except Exception:
                     pass
     return done
@@ -119,8 +125,11 @@ def main() -> int:
             time.sleep(120)
             continue
         pairing = remaining[0]
+        cpus_part, _, variant = pairing.partition("+")
         env = dict(os.environ)
-        env["GRAFT_SCALING_CPUS"] = pairing
+        env["GRAFT_SCALING_CPUS"] = cpus_part
+        if variant == "index":
+            env["GRAFT_MATERIALIZE_ELEMENTS"] = "index"
         env["GRAFT_SCALING_PROBE_S"] = f"{p:.3f}"
         # per-leg gate inside bench.py still applies (probe can sour
         # mid-campaign); when running degraded, disable its own hard
@@ -136,8 +145,10 @@ def main() -> int:
         )
         lines = [l for l in proc.stdout.splitlines() if l.startswith("{")]
         if proc.returncode == 0 and lines:
+            rec = json.loads(lines[-1])
+            rec["pairing"] = pairing
             with open(RESULTS, "a") as f:
-                f.write(lines[-1] + "\n")
+                f.write(json.dumps(rec) + "\n")
             log(f"pairing {pairing} recorded: {lines[-1][:200]}")
         else:
             log(f"pairing {pairing} FAILED rc={proc.returncode}; "
