@@ -1759,6 +1759,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_pairs_docs": q_simhash_pairs_docs,
         "jaccard_dedup_docs": q_jaccard_dedup_docs,
         "minhash_pairs_docs": q_minhash_pairs_docs,
+        "minhash_dedup_docs": q_minhash_dedup_docs,
         "lang_id_docs": q_lang_id_docs,
         "fingerprint_docs": q_fingerprint_docs,
         "quality_filter_docs": q_quality_filter_docs,
@@ -1786,7 +1787,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_thumbnails_synth": q_media_thumbnails_synth,
         "video_frames_synth": q_video_frames_synth,
         "span_invariant": q_span_invariant,
-        "minhash_dedup_docs": q_minhash_dedup_docs,
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
         "lsh_ann": q_lsh_ann,
         "ivf_ann": q_ivf_ann,
@@ -1991,21 +1991,22 @@ def _sm_chain_sql(src: str, keys: list[str], xexpr: str, out: str) -> str:
     )"""
 
 
-def _minhash_pairs_oracle_sql() -> str:
-    """SQL twin of q_minhash_pairs_docs: word 3-gram shingles (FNV-1a
-    word hashes folded with the FNV prime, splitmix-finalized), 64
-    MinHash rows (min over splitmix64(shingle ^ seed_j)), 16 banded
-    xor-fold bucket hashes, candidate pairs sharing a (band, bucket),
-    exact shingle-set Jaccard ≥ 0.5 verify. Bucket capping
+def _minhash_verified_pairs_ctes(dn_body: str) -> str:
+    """The shared CTE chain computing verified near-dup pairs over a
+    caller-supplied (doc_id, t) relation ``dn_body``: word 3-gram
+    shingles (FNV-1a word hashes folded with the FNV prime,
+    splitmix-finalized), 64 MinHash rows (min over
+    splitmix64(shingle ^ seed_j)), 16 banded xor-fold bucket hashes,
+    candidate pairs sharing a (band, bucket), exact shingle-set
+    Jaccard ≥ 0.5 verify → ``vpairs(a, b)``. Bucket capping
     (bucket_cap=4096) never engages at sf≤0.1 corpus sizes, so the
-    uncapped SQL expansion is exact there."""
+    uncapped SQL expansion is exact there. Callers prepend
+    ``WITH RECURSIVE {_FNV_PRELUDE},`` and append their final SELECT."""
     fnv_mul = (
         "CAST((CAST({x} AS HUGEINT) * 1099511628211) % 18446744073709551616 AS UBIGINT)"
     )
     return f"""
-        WITH RECURSIVE
-        {_FNV_PRELUDE},
-        dn AS (SELECT doc_id::BIGINT AS doc_id, trim(coalesce(text,'')) AS t FROM documents),
+        dn AS ({dn_body}),
         wl AS (SELECT doc_id, string_split_regex(t, '\\s+') AS l FROM dn WHERE t <> ''),
         occ AS (
           SELECT wl.doc_id, i.i AS pos, wl.l[i.i] AS w
@@ -2085,13 +2086,66 @@ def _minhash_pairs_oracle_sql() -> str:
           JOIN sh sa ON sa.doc_id = c.a
           JOIN sh sb ON sb.doc_id = c.b AND sb.s = sa.s
           GROUP BY c.a, c.b
+        ),
+        vpairs AS (
+          SELECT c.a, c.b
+          FROM cands c
+          JOIN sizes na ON na.doc_id = c.a
+          JOIN sizes nb ON nb.doc_id = c.b
+          LEFT JOIN inter i ON i.a = c.a AND i.b = c.b
+          WHERE coalesce(i.i, 0)::DOUBLE / (na.n + nb.n - coalesce(i.i, 0)) >= 0.5
         )
-        SELECT c.a, c.b
-        FROM cands c
-        JOIN sizes na ON na.doc_id = c.a
-        JOIN sizes nb ON nb.doc_id = c.b
-        LEFT JOIN inter i ON i.a = c.a AND i.b = c.b
-        WHERE coalesce(i.i, 0)::DOUBLE / (na.n + nb.n - coalesce(i.i, 0)) >= 0.5
+    """
+
+
+def _minhash_pairs_oracle_sql() -> str:
+    """SQL twin of q_minhash_pairs_docs (see
+    :func:`_minhash_verified_pairs_ctes` for the hash chain)."""
+    chain = _minhash_verified_pairs_ctes(
+        "SELECT doc_id::BIGINT AS doc_id, trim(coalesce(text,'')) AS t FROM documents"
+    )
+    return f"""
+        WITH RECURSIVE
+        {_FNV_PRELUDE},
+        {chain}
+        SELECT a, b FROM vpairs
+    """
+
+
+def _minhash_dedup_oracle_sql() -> str:
+    """SQL twin of q_minhash_dedup_docs (near-dup CLUSTER assignment):
+    exact pre-collapse (rep = min doc_id per identical text), the
+    verified-pairs chain over REP docs only, connected components via
+    a recursive-CTE closure (same pattern as the cluster_customers
+    oracle), keep_id = component minimum composed with the exact-dup
+    mapping. Ray groups identical texts by 64-bit FNV; the SQL groups
+    by the text itself — equal absent a 64-bit collision."""
+    chain = _minhash_verified_pairs_ctes(
+        "SELECT rep AS doc_id, trim(t) AS t FROM groups"
+    )
+    return f"""
+        WITH RECURSIVE
+        {_FNV_PRELUDE},
+        groups AS (
+          SELECT coalesce(text,'') AS t, min(doc_id::BIGINT) AS rep
+          FROM documents GROUP BY coalesce(text,'')
+        ),
+        docrep AS (
+          SELECT d.doc_id::BIGINT AS doc_id, g.rep
+          FROM documents d JOIN groups g ON coalesce(d.text,'') = g.t
+        ),
+        {chain},
+        uedges AS (
+          SELECT a, b FROM vpairs UNION ALL SELECT b AS a, a AS b FROM vpairs
+        ),
+        reach(id, label) AS (
+          SELECT rep, rep FROM groups
+          UNION
+          SELECT e.a, r.label FROM uedges e JOIN reach r ON r.id = e.b
+        ),
+        comp AS (SELECT id, min(label) AS keep FROM reach GROUP BY id)
+        SELECT d.doc_id, c.keep AS keep_id
+        FROM docrep d JOIN comp c ON d.rep = c.id
     """
 
 
@@ -2638,6 +2692,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "fingerprint_docs": _fingerprint_oracle_sql(),
         "minhash_pairs_docs": _minhash_pairs_oracle_sql(),
+        "minhash_dedup_docs": _minhash_dedup_oracle_sql(),
         "knn_customers": """
             WITH pts AS (
               SELECT c_custkey AS id,
