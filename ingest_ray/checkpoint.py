@@ -449,6 +449,7 @@ def patch_tiles(
     delta,
     removed_keys: np.ndarray,
     leaf_capacity: int = LEAF_CAPACITY,
+    augment=None,
 ) -> dict:
     """Apply a changeset's ``(delta, removed)`` (from
     ``changeset.apply_changeset``) to a COMMITTED tile store in place,
@@ -498,6 +499,11 @@ def patch_tiles(
     if delta_t is not None and len(delta_t) == 0:
         delta_t = None
     if delta_t is not None:
+        if augment is not None:
+            # store written with optimize_to_tiles(augment=...): stored
+            # files carry the derived columns, so the delta must gain
+            # them BEFORE schema alignment with the old tiles
+            delta_t = augment(delta_t)
         delta_t = assign_grid_cell(delta_t, bounds, grid_divs)
 
     removed = np.sort(np.asarray(removed_keys, dtype=np.uint64))

@@ -378,3 +378,54 @@ def test_o5c_rounds_match_xml_rounds():
         with open(f"/root/reference/tests/data/0/changeset{i}.o5c", "rb") as f:
             o5c_rounds.append(parse_o5c(f.read()))
     assert run(o5c_rounds) == run(xml_rounds)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_patch_tiles_augment_store(tmp_path):
+    """patch_tiles(augment=...) on a store written with
+    optimize_to_tiles(augment=add_cell_columns): the delta gains the
+    derived H3/S2 columns before schema alignment, and the patched
+    store byte-matches a fresh augment-mode optimize of the final
+    corpus."""
+    import os
+
+    import ray.data as rd
+
+    from ingest_ray.cells import add_cell_columns
+    from ingest_ray.changeset import GOLDEN_ROUND1
+    from ingest_ray.checkpoint import optimize_to_tiles, patch_tiles
+
+    cfg = EngineConfig(join_mode="broadcast")
+    docs = rd.from_arrow(golden_documents())
+    store = str(tmp_path / "store")
+    current = _collect(ingest_features(docs, cfg))
+    optimize_to_tiles(
+        rd.from_arrow(current), store, grid_divs=(4, 4), leaf_capacity=2,
+        resume=False, augment=add_cell_columns,
+    ).materialize()
+
+    delta, removed, _state = apply_changeset(docs, CHANGES0, cfg)
+    delta_t = _collect(delta) if delta is not None else current.schema.empty_table()
+    current = merge_features(current, delta_t, removed)
+    patch_tiles(store, delta_t, removed, leaf_capacity=2, augment=add_cell_columns)
+
+    fresh = str(tmp_path / "fresh")
+    optimize_to_tiles(
+        rd.from_arrow(current), fresh, grid_divs=(4, 4), leaf_capacity=2,
+        resume=False, augment=add_cell_columns,
+    ).materialize()
+
+    def tile_files(root):
+        out = {}
+        troot = os.path.join(root, "tiles")
+        for dirpath, _dirs, names in os.walk(troot):
+            for n in names:
+                p = os.path.join(dirpath, n)
+                out[os.path.relpath(p, troot)] = p
+        return out
+
+    sf_, ff = tile_files(store), tile_files(fresh)
+    assert set(sf_) == set(ff) and len(sf_) > 0
+    for rel in sf_:
+        with open(sf_[rel], "rb") as a, open(ff[rel], "rb") as b:
+            assert a.read() == b.read(), f"tile file {rel} bytes differ"
