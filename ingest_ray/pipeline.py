@@ -140,7 +140,19 @@ def _ingest_features_index_mode(documents_ds, cfg: EngineConfig):
             for b in branches
         ]
     if cfg.eager_branches:
-        branches = [b.materialize() for b in branches]
+        if len(branches) > 1 and _overlap_fits(idx_tbl):
+            # overlap the drains: plasma holds only the pruned index in
+            # this mode, so the headroom gate (6x the index table) is
+            # far looser than the materialized path's — the relation
+            # branch's scheduling slack absorbs into the node/way drain
+            # (same rationale as the fused broadcast path; no Dataset
+            # .join in either branch, so no aggregator deadlock)
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(len(branches)) as ex:
+                branches = list(ex.map(lambda b: b.materialize(), branches))
+        else:
+            branches = [b.materialize() for b in branches]
     out = branches[0]
     for b in branches[1:]:
         out = out.union(b)
