@@ -50,6 +50,12 @@ def kcenter_select(
     """→ Dataset (rank, vec_id, dist): the k greedy picks in selection
     order; ``dist`` is the point's distance to the nearest PRIOR pick
     (0 for the seed). ``rank`` is 1-based."""
+    from ..util import maybe_cache_projection
+
+    # k sequential rounds each stream the corpus: cache the pruned
+    # projection in plasma when it provably fits (threshold-guarded;
+    # the streaming re-read stays the 10^12-row path)
+    ds = maybe_cache_projection(ds, (id_col, emb_col))
 
     # seed: the smallest id (per-batch min combiner, k rows never shuffle)
     def batch_min(batch: pa.Table) -> pa.Table:

@@ -53,6 +53,11 @@ def kmeans_fit(
     """→ (k, dim) float64 centroid matrix after ``n_iters`` Lloyd
     rounds. Empty clusters keep their previous centroid (standard
     Lloyd fallback, deterministic)."""
+    from ..util import maybe_cache_projection
+
+    # n_iters rounds each stream the corpus: cache the pruned
+    # projection when it provably fits plasma (threshold-guarded)
+    ds = maybe_cache_projection(ds, (id_col, emb_col))
     # deterministic init: the k smallest ids. A per-batch k-smallest
     # combiner + driver merge of k rows per block — not ds.sort(),
     # which would all-to-all-shuffle the whole corpus for k rows.

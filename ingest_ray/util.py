@@ -168,6 +168,43 @@ def effective_num_partitions(requested: int, min_parts: int = 2) -> int:
     return max(min_parts, min(requested, cluster_cpus()))
 
 
+def maybe_cache_projection(ds, cols, store_fraction: float = 0.25):
+    """For ITERATIVE operators (k-means, k-center) that stream the same
+    input once per round: materialize the pruned projection ONCE when
+    it provably fits ``store_fraction`` of the object store, so later
+    rounds read plasma instead of re-decoding parquet per round.
+
+    The estimate is cheap and safe: row count from dataset metadata
+    (O(1) for pure parquet reads), bytes/row sampled from one 256-row
+    batch — nothing big is materialized before the bound is proven.
+    Any failure (no metadata, empty input, no store figure) falls back
+    to returning ``ds`` unchanged — the streaming re-read, which is
+    also the correct 10¹²-row path where no projection fits."""
+    import ray as _ray
+
+    try:
+        proj = ds.select_columns(list(cols))
+        n = ds.count()
+        if not n:
+            return ds
+        first = next(
+            iter(
+                proj.limit(min(256, n)).iter_batches(
+                    batch_size=256, batch_format="pyarrow"
+                )
+            )
+        )
+        if len(first) == 0:
+            return ds
+        bpr = first.nbytes / len(first)
+        cap = _ray.cluster_resources().get("object_store_memory", 0)
+        if cap and n * bpr < store_fraction * cap:
+            return proj.materialize()
+    except Exception:
+        pass
+    return ds
+
+
 def sever_lineage(materialized_ds):
     """MaterializedDataset → fresh Dataset over the same Arrow block
     refs (zero-copy), with a length-1 logical plan.
