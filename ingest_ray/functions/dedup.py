@@ -324,6 +324,7 @@ def minhash_dedup_assign(
     shingle_n: int = 3,
     num_partitions: int = 32,
     lp_edge_threshold: int | None = 4_000_000,
+    rep_broadcast_limit: int = 4_000_000,
 ):
     """documents → (doc_id, keep_id): near-dup CLUSTER assignment.
 
@@ -365,16 +366,64 @@ def minhash_dedup_assign(
 
     hashed = docs_ds.map_batches(hash_stage, batch_format="pyarrow", zero_copy_batch=True)
     reps = hashed.groupby("text_hash").aggregate(Min("doc_id", alias_name="rep"))
-    reps = reps.rename_columns({"text_hash": "th"})
-    tune_shuffle_context()
-    membership = hashed.join(
-        reps,
-        join_type="inner",
-        num_partitions=effective_num_partitions(num_partitions),
-        on=("text_hash",),
-        right_on=("th",),
-    )
-    membership = membership.materialize()
+    # rep attachment: the (hash → rep) map is bounded by the DISTINCT
+    # text count. When the CORPUS row count (≥ distinct count, cheap —
+    # parquet metadata) fits the broadcast limit, ship the sorted map
+    # once via ray.put and attach per batch — the corpus TEXT never
+    # rides an exchange and no join-aggregator pool spins up. Beyond
+    # the limit, the distributed hash join runs (text shuffles once) —
+    # same threshold-guard-with-fallback pattern as the verifier's id
+    # prefilter.
+    n_docs = None
+    try:
+        n_docs = docs_ds.count()
+    except Exception:
+        pass
+    if n_docs is not None and n_docs <= rep_broadcast_limit:
+        rep_parts = [
+            t
+            for t in reps.iter_batches(batch_size=1 << 20, batch_format="pyarrow")
+            if len(t)
+        ]
+        rt = (
+            pa.concat_tables(rep_parts)
+            if rep_parts
+            else pa.table(
+                {"text_hash": pa.array([], pa.int64()), "rep": pa.array([], pa.int64())}
+            )
+        )
+        th = rt.column("text_hash").to_numpy(zero_copy_only=False).astype(np.int64)
+        rp = rt.column("rep").to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(th, kind="stable")
+        rep_ref = __import__("ray").put((th[order], rp[order]))
+
+        def attach_rep(batch: pa.Table) -> pa.Table:
+            import ray as _ray
+
+            keys, vals = _ray.get(rep_ref)
+            bh = batch.column("text_hash").to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(keys, bh)
+            pos = np.minimum(pos, max(len(keys) - 1, 0))
+            if len(bh) and (not len(keys) or not np.array_equal(keys[pos], bh)):
+                raise ValueError("rep map missing a text_hash — broken invariant")
+            return batch.append_column(
+                "rep", pa.array(vals[pos] if len(keys) else [], pa.int64())
+            )
+
+        membership = hashed.map_batches(
+            attach_rep, batch_format="pyarrow", zero_copy_batch=True
+        ).materialize()
+    else:
+        reps = reps.rename_columns({"text_hash": "th"})
+        tune_shuffle_context()
+        membership = hashed.join(
+            reps,
+            join_type="inner",
+            num_partitions=effective_num_partitions(num_partitions),
+            on=("text_hash",),
+            right_on=("th",),
+        )
+        membership = membership.materialize()
     rep_docs = membership.filter(
         expr="doc_id == rep"
     ).select_columns(["doc_id", "text"])

@@ -453,3 +453,32 @@ def test_dedup_spans_doc_losing_all_spans_dropped(ray_session):
     got = dedup_spans(ds, window=2).to_pandas()
     assert got["doc_id"].tolist() == [1]
     assert got["text"].tolist() == ["a b"]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_minhash_dedup_rep_broadcast_paths_equal():
+    """The broadcast rep-attachment (hash→rep map ray.put once) and the
+    distributed-join fallback (rep_broadcast_limit=0) must produce the
+    identical (doc_id, keep_id) assignment."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ingest_ray.functions.dedup import minhash_dedup_assign
+
+    texts = (
+        ["alpha beta gamma delta epsilon zeta"] * 4
+        + ["alpha beta gamma delta epsilon eta"] * 3
+        + ["one two three four five six seven eight"] * 2
+        + [f"unique doc number {i} with its own words entirely" for i in range(12)]
+    )
+    docs = pa.table(
+        {"doc_id": pa.array(range(len(texts)), pa.int64()), "text": pa.array(texts)}
+    )
+    ds = rd.from_arrow(docs)
+
+    def sig(out):
+        return sorted((r["doc_id"], r["keep_id"]) for r in out.take_all())
+
+    a = sig(minhash_dedup_assign(ds, threshold=0.5))
+    b = sig(minhash_dedup_assign(ds, threshold=0.5, rep_broadcast_limit=0))
+    assert a == b and len(a) == len(texts)
