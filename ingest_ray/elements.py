@@ -242,11 +242,78 @@ ELEMENTS_ALL_SCHEMA = pa.schema(
 )
 
 
-def parse_all_batch(batch: pa.Table) -> pa.Table:
-    """One documents batch → union element table (all three kinds, one
+def parse_index_batch(batch: pa.Table) -> pa.Table:
+    """One documents batch → the JOIN-RELEVANT projection only
+    (id, ekind, lon, lat, refs) — the pass-1 parser of the two-pass
+    streaming ingest. Skips tag parsing (the only per-row Python in
+    the full parse), member parsing, and provenance entirely; relation
+    rows carry just their id so the same sweep still yields kind
+    counts. Row order per block matches ``parse_all_batch`` (node |
+    way | relation, input order within each kind)."""
+    spans = explode_spans(batch)
+    parts = []
+    for kind, code in (("node", 0), ("way", 1), ("relation", 2)):
+        sub = spans.filter(pc.equal(spans.column("kind"), kind))
+        texts = _combine(sub.column("text"))
+        n = len(texts)
+        if n == 0:
+            continue
+        sp = _combine(pc.split_pattern(texts, "|"))
+        ids = pc.cast(_field_after(_combine(pc.list_element(sp, 1)), "id="), pa.int64())
+        lon = lat = pa.nulls(n, pa.float32())
+        refs = pa.nulls(n, pa.list_(pa.int64()))
+        if kind == "node":
+            lon = pc.cast(
+                pc.cast(_field_after(_combine(pc.list_element(sp, 2)), "lon="), pa.float64()),
+                pa.float32(),
+            )
+            lat = pc.cast(
+                pc.cast(_field_after(_combine(pc.list_element(sp, 3)), "lat="), pa.float64()),
+                pa.float32(),
+            )
+        elif kind == "way":
+            refs_str = _field_after(_combine(pc.list_element(sp, 2)), "refs=")
+            refs = _split_list_cast(refs_str, ",", lambda f: pc.cast(f, pa.int64()))
+        parts.append(
+            pa.table(
+                {
+                    "id": ids,
+                    "ekind": pa.array(np.full(n, code, dtype=np.uint8), pa.uint8()),
+                    "lon": lon,
+                    "lat": lat,
+                    "refs": refs,
+                }
+            ).cast(ELEMENTS_INDEX_SCHEMA)
+        )
+    if not parts:
+        return ELEMENTS_INDEX_SCHEMA.empty_table()
+    return pa.concat_tables(parts)
+
+
+ELEMENTS_INDEX_SCHEMA = pa.schema(
+    [
+        pa.field("id", pa.int64()),
+        pa.field("ekind", pa.uint8()),
+        pa.field("lon", pa.float32()),
+        pa.field("lat", pa.float32()),
+        pa.field("refs", pa.list_(pa.int64())),
+    ]
+)
+
+
+def elements_index_dataset(documents):
+    """documents Dataset → lazy (id, ekind, lon, lat, refs) projection
+    (pass 1 of the two-pass streaming ingest)."""
+    return documents.map_batches(
+        parse_index_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def parse_all_batch(batch: pa.Table, kinds=("node", "way", "relation")) -> pa.Table:
+    """One documents batch → union element table (``kinds``, one
     explode + parse pass; absent columns are null per kind)."""
     parts = []
-    for kind in ("node", "way", "relation"):
+    for kind in kinds:
         t = parse_kind_batch(batch, kind)
         n = len(t)
         if n == 0:
@@ -274,9 +341,13 @@ def parse_all_batch(batch: pa.Table) -> pa.Table:
     return pa.concat_tables(parts)
 
 
-def elements_all_dataset(documents):
+def elements_all_dataset(documents, kinds=("node", "way", "relation")):
     """documents Dataset → lazy union element Dataset (parse ONCE)."""
-    return documents.map_batches(parse_all_batch, batch_format="pyarrow", zero_copy_batch=True)
+    return documents.map_batches(
+        lambda b: parse_all_batch(b, kinds),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
 
 
 _KIND_VIEW_COLS = {

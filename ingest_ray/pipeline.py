@@ -77,38 +77,28 @@ def _ingest_features_index_mode(documents_ds, cfg: EngineConfig):
     where the re-parse also lands on fresh per-node DRAM controllers).
     Output equals the materialized path feature-for-feature (pinned by
     tests)."""
-    import pyarrow as pa
     import ray as _ray
 
-    from .elements import elements_all_dataset, kind_segment
+    from .elements import elements_all_dataset, elements_index_dataset
 
-    def project_index(b: pa.Table) -> pa.Table:
-        return b.select(["id", "ekind", "lon", "lat", "refs"])
-
-    idx_tbl = (
-        elements_all_dataset(documents_ds)
-        .map_batches(project_index, batch_format="pyarrow", zero_copy_batch=True)
-        .materialize()
-    )
+    # pass 1: the LEAN parser — ids/coords/refs only, no tag or member
+    # parsing, no provenance (the only per-row Python of the full parse
+    # is the tag splitter, and pass 1 never needs it)
+    idx_tbl = elements_index_dataset(documents_ds).materialize()
     node_idx_ref, way_idx_ref, kind_counts = joins.build_sharded_indexes_from_all(
         idx_tbl, cfg.ingest_relation, return_counts=True
     )
 
     branches = []
-    enabled = [code for code, on in ((0, cfg.ingest_node), (1, cfg.ingest_way)) if on]
-    if enabled:
-
-        def keep_kinds(b):
-            segs = [kind_segment(b, code) for code in enabled]
-            segs = [s for s in segs if len(s)]
-            if not segs:
-                return b.schema.empty_table()
-            return pa.concat_tables(segs)
-
+    kinds = tuple(
+        k for k, on in (("node", cfg.ingest_node), ("way", cfg.ingest_way)) if on
+    )
+    if kinds:
+        # pass 2: parse ONLY the enabled kinds (relation spans skip
+        # their member/tag parse entirely) and stream straight into the
+        # fused encode — no keep_kinds filter stage needed
         branches.append(
-            elements_all_dataset(documents_ds)
-            .map_batches(keep_kinds, batch_format="pyarrow", zero_copy_batch=True)
-            .map_batches(
+            elements_all_dataset(documents_ds, kinds=kinds).map_batches(
                 lambda b: F.encode_all_batch(b, node_idx_ref, way_idx_ref),
                 batch_format="pyarrow",
                 zero_copy_batch=True,
