@@ -365,3 +365,16 @@ def test_sever_lineage_block_loss_fails_loudly(ray_session):
         # or Ray wraps it — any exception is the documented contract;
         # reconstruction would require the lineage this rebase dropped
         out.map_batches(lambda b: b, batch_format="pyarrow").count()
+
+
+def test_parse_index_batch_equals_full_parse_projection():
+    """The lean pass-1 parser must equal the (id, ekind, lon, lat,
+    refs) projection of the full union parse, row for row."""
+    from ingest_ray.elements import parse_all_batch, parse_index_batch
+    from ingest_ray.synth import golden_documents, synth_documents
+
+    for docs in (golden_documents(), synth_documents(4000)):
+        full = parse_all_batch(docs).select(["id", "ekind", "lon", "lat", "refs"])
+        lean = parse_index_batch(docs)
+        assert full.schema.equals(lean.schema)
+        assert full.equals(lean)
