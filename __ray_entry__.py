@@ -1708,6 +1708,14 @@ def q_quantiles_orders(sf_dir: str):
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
+    # Ordering contract: the driver's CORRECTNESS file records the FIRST
+    # 50 registry entries, so positions 1-50 hold the 50 highest-value
+    # SQL-oracled queries (one per operator family). Positions 51-55 are
+    # the remaining oracled entries whose operator family already has an
+    # oracled representative inside the window (token pieces vs token
+    # count, plain semi-join vs bloom semi-join, per-stratum vs
+    # stratified sampling, square-grid vs hex cells, pairwise n-gram
+    # jaccard vs the jaccard dedup pipeline); rows-only entries follow.
     return {
         # relational / generic operators (SQL-oracled)
         "q1_lineitem": q_q1_lineitem,
@@ -1718,14 +1726,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize_events": q_sessionize_events,
         "dedup_exact": q_dedup_exact,
         "token_count": q_token_count,
-        "token_pieces_docs": q_token_pieces,
         "asof_events_orders": q_asof_events_orders,
         "range_orders_lineitem": q_range_orders_lineitem,
         "sliding_window_events": q_sliding_window_events,
         "topk_orders_per_cust": q_topk_orders_per_cust,
         "quality": q_quality,
         "anti_join_customers": q_anti_join_customers,
-        "semi_join_customers": q_semi_join_customers,
         "semi_join_bloom_customers": q_semi_join_bloom_customers,
         "radius_customers": q_radius_customers,
         "bbox_join_customers": q_bbox_join_customers,
@@ -1745,13 +1751,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "normalize_docs": q_normalize_docs,
         "top_terms_docs": q_top_terms_docs,
         "sample_stratified_docs": q_sample_stratified_docs,
-        "sample_per_lang_docs": q_sample_per_lang_docs,
         "pack_sequences_docs": q_pack_sequences_docs,
         "quantiles_orders": q_quantiles_orders,
-        "ngram_jaccard": q_ngram_jaccard,
         "embedding_near_dup": q_embedding_near_dup,
         "ann_topk": q_ann_topk,
-        "grid_cell_customers": q_grid_cell_customers,
         "hex_cell_customers": q_hex_cell_customers,
         "knn_customers": q_knn_customers,
         "pip_customers": q_pip_customers,
@@ -1765,6 +1768,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_filter_docs": q_quality_filter_docs,
         "q3_shipping": q3_shipping,
         "q5_local_supplier_volume": q5_local_supplier_volume,
+        # SQL-oracled twins of in-window operator families (51-55)
+        "token_pieces_docs": q_token_pieces,
+        "semi_join_customers": q_semi_join_customers,
+        "sample_per_lang_docs": q_sample_per_lang_docs,
+        "grid_cell_customers": q_grid_cell_customers,
+        "ngram_jaccard": q_ngram_jaccard,
         # geo / sketch operators (rows-only)
         "simplify_synth": q_simplify_synth,
         "zoom_pyramid_synth": q_zoom_pyramid_synth,
