@@ -360,17 +360,30 @@ def write_corpus(
     pipeline's scaling)."""
     import os
 
+    if num_files > 1 and os.path.isdir(path):
+        return path  # already complete (directories appear only via rename below)
     tbl = synth_documents(n, seed, hotspot_frac)
     if num_files <= 1:
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-        pq.write_table(tbl, path, row_group_size=row_group_size)
+        tmp = path + ".tmp"
+        pq.write_table(tbl, tmp, row_group_size=row_group_size)
+        os.replace(tmp, path)
         return path
-    os.makedirs(path, exist_ok=True)
+    # write into a temp dir and rename: a concurrent reader gating on
+    # isdir(path) (bench --scaling / the campaign runner) must never see
+    # a partially-written corpus
+    tmp_dir = path + ".tmp"
+    if os.path.isdir(tmp_dir):
+        import shutil
+
+        shutil.rmtree(tmp_dir)
+    os.makedirs(tmp_dir, exist_ok=True)
     rows = len(tbl)
     per = -(-rows // num_files)
     for i in range(num_files):
         part = tbl.slice(i * per, per)
         if len(part) == 0:
             break
-        pq.write_table(part, os.path.join(path, f"part-{i:05d}.parquet"), row_group_size=row_group_size)
+        pq.write_table(part, os.path.join(tmp_dir, f"part-{i:05d}.parquet"), row_group_size=row_group_size)
+    os.rename(tmp_dir, path)
     return path
