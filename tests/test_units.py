@@ -378,3 +378,24 @@ def test_parse_index_batch_equals_full_parse_projection():
         lean = parse_index_batch(docs)
         assert full.schema.equals(lean.schema)
         assert full.equals(lean)
+
+
+def test_write_corpus_atomic_and_idempotent(tmp_path):
+    """Directory corpora appear only via rename (no partial state is
+    ever visible at the final path) and a second call is a no-op."""
+    import os
+
+    from ingest_ray.synth import write_corpus
+
+    p = str(tmp_path / "corpus_dir")
+    out = write_corpus(p, 500, num_files=4)
+    assert out == p and os.path.isdir(p) and not os.path.exists(p + ".tmp")
+    parts = sorted(os.listdir(p))
+    assert parts and all(f.endswith(".parquet") for f in parts)
+    mtimes = {f: os.path.getmtime(os.path.join(p, f)) for f in parts}
+    write_corpus(p, 500, num_files=4)  # idempotent: no rewrite
+    assert {f: os.path.getmtime(os.path.join(p, f)) for f in parts} == mtimes
+
+    single = str(tmp_path / "corpus.parquet")
+    write_corpus(single, 300)
+    assert os.path.isfile(single) and not os.path.exists(single + ".tmp")
